@@ -1,0 +1,28 @@
+"""Test configuration: force an 8-virtual-device CPU backend so sharding /
+multi-chip code paths are exercised without TPU hardware, per the project's
+test strategy (SURVEY.md §4). Must run before any test module imports jax.
+
+Note: the axon TPU plugin in this image ignores the JAX_PLATFORMS env var,
+so the platform is forced through jax.config instead.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
