@@ -1,0 +1,76 @@
+"""Synthetic SLAM problem generators shared across solver / tracking / system
+tests. Since the reference cannot be run here (SURVEY.md §7.4: needs OpenCV
+3.4 + Pangolin + custom g2o), golden values come from constructed worlds with
+known ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hyslam_tpu.geometry import se3, so3
+from hyslam_tpu.geometry.camera import Camera, project_stereo
+
+DEFAULT_CAM = Camera(
+    fx=450.0, fy=450.0, cx=320.0, cy=240.0, width=640, height=480,
+    bf=45.0, th_depth=35.0,
+)
+
+
+def make_world(rng, n_points=500, extent=(8.0, 6.0, 14.0), z_min=2.0):
+    """Random 3D landmark cloud in front of the origin camera."""
+    pts = np.stack(
+        [
+            rng.uniform(-extent[0], extent[0], n_points),
+            rng.uniform(-extent[1], extent[1], n_points),
+            rng.uniform(z_min, extent[2], n_points),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return pts
+
+
+def make_trajectory(n_frames=20, step=0.25, yaw_rate=0.01):
+    """Forward-motion trajectory with slight yaw; returns Tcw [F,4,4]."""
+    Ts = []
+    T = np.eye(4, dtype=np.float32)
+    for i in range(n_frames):
+        Ts.append(T.copy())
+        delta = np.asarray(
+            se3.exp(jnp.asarray([0.0, yaw_rate, 0.0, 0.0, 0.0, -step], dtype=jnp.float32))
+        )
+        T = (delta @ T).astype(np.float32)
+    return np.stack(Ts)
+
+
+def observe(cam: Camera, Tcw, pts, noise=0.3, rng=None, stereo_frac=1.0):
+    """Project world points under a pose; returns (uv [N,2], ur [N], visible
+    [N] bool, stereo [N] bool). Adds pixel noise."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+    uv, ur, z = project_stereo(cam, se3.apply(jnp.asarray(Tcw), jnp.asarray(pts)))
+    uv = np.asarray(uv)
+    ur = np.asarray(ur)
+    z = np.asarray(z)
+    vis = (
+        (z > 0.2)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    )
+    uv = uv + rng.normal(0, noise, uv.shape)
+    ur = ur + rng.normal(0, noise, ur.shape)
+    stereo = vis & (rng.uniform(size=len(z)) < stereo_frac)
+    return uv.astype(np.float32), ur.astype(np.float32), vis, stereo
+
+
+def perturb_pose(rng, T, rot=0.02, trans=0.1):
+    xi = np.concatenate(
+        [rng.normal(0, rot, 3), rng.normal(0, trans, 3)]
+    ).astype(np.float32)
+    return np.asarray(se3.exp(jnp.asarray(xi)) @ jnp.asarray(T))
+
+
+def pose_error(Ta, Tb):
+    """(rotation deg, translation) error between two poses."""
+    d = np.asarray(se3.log(jnp.asarray(Ta) @ se3.inverse(jnp.asarray(Tb))))
+    return np.degrees(np.linalg.norm(d[:3])), np.linalg.norm(d[3:])
