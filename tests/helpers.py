@@ -74,3 +74,40 @@ def pose_error(Ta, Tb):
     """(rotation deg, translation) error between two poses."""
     d = np.asarray(se3.log(jnp.asarray(Ta) @ se3.inverse(jnp.asarray(Tb))))
     return np.degrees(np.linalg.norm(d[:3])), np.linalg.norm(d[3:])
+
+
+# ---------------------------------------------------------------------------
+# synthetic image rendering (feature/extraction tests)
+# ---------------------------------------------------------------------------
+
+def render_world(cam, Tcw, pts, point_seed=0, bg=20.0, amp=180.0):
+    """Render a sparse textured image: each world point splats a small
+    point-unique constellation of sub-blobs (so descriptors are distinctive
+    and approximately viewpoint-stable for small motions). Returns [H,W] f32.
+    """
+    import jax.numpy as jnp
+    from hyslam_tpu.geometry import se3 as _se3
+    from hyslam_tpu.geometry.camera import project as _project
+    from hyslam_tpu.ops.pyramid import gaussian_blur
+
+    rng_p = np.random.default_rng(point_seed)
+    n = len(pts)
+    # 5 sub-blobs per point, fixed per point id, radius ~4 px, varied sign
+    offs = rng_p.uniform(-4, 4, size=(n, 5, 2)).astype(np.float32)
+    amps = rng_p.uniform(0.4, 1.0, size=(n, 5)).astype(np.float32) * amp
+
+    uv, z = _project(cam, _se3.apply(jnp.asarray(Tcw), jnp.asarray(pts)))
+    uv = np.asarray(uv)
+    z = np.asarray(z)
+    vis = (z > 0.2) & (uv[:, 0] > 8) & (uv[:, 0] < cam.width - 8) \
+        & (uv[:, 1] > 8) & (uv[:, 1] < cam.height - 8)
+
+    img = np.full((cam.height, cam.width), bg, np.float32)
+    pos = (uv[:, None, :] + offs).reshape(-1, 2)
+    a = (amps * vis[:, None]).reshape(-1)
+    xi = np.round(pos[:, 0]).astype(int)
+    yi = np.round(pos[:, 1]).astype(int)
+    ok = (xi >= 0) & (xi < cam.width) & (yi >= 0) & (yi < cam.height)
+    np.add.at(img, (yi[ok], xi[ok]), a[ok])
+    img = np.asarray(gaussian_blur(jnp.asarray(img), ksize=5, sigma=1.0))
+    return np.clip(img, 0, 255).astype(np.float32), uv, vis
