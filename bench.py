@@ -1,0 +1,113 @@
+"""Benchmark: tracked frames/s of the full per-frame SLAM front-end on one
+chip at the reference's SLAM-camera operating point.
+
+Pipeline measured per frame (the reference's hot path, SURVEY.md §3.2):
+stereo ORB extraction (pyramid + FAST + grid select + orientation +
+descriptors, 2 images) -> stereo matching + sub-pixel refinement ->
+local-map projection matching (4096 landmarks) -> pose-only LM (40 iters).
+
+Operating point: 1280x720 stereo @ 1000 features, 8 levels x1.2
+(config/sample_primary_config_file.yaml:27-41). The reference publishes no
+fps (BASELINE.md): baseline = its real-time design rate of 60 fps on CPU, so
+vs_baseline = fps / 60 (target >= 5).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from hyslam_tpu.core.frame import empty_features
+    from hyslam_tpu.features.extractor import ExtractorConfig, extract
+    from hyslam_tpu.features.matcher import search_by_projection_landmarks
+    from hyslam_tpu.ops.stereo import match_stereo_refined
+    from hyslam_tpu.geometry.camera import Camera
+    from hyslam_tpu.solver.pose_opt import pose_optimization
+
+    H, W = 720, 1280
+    N_FEATURES = 1000
+    F_CAP = 1024
+    N_LANDMARKS = 4096
+    cam = Camera(fx=700.0, fy=700.0, cx=W / 2, cy=H / 2, width=W, height=H,
+                 bf=84.0)
+    cfg = ExtractorConfig(n_features=N_FEATURES)
+
+    rng = np.random.default_rng(0)
+    # synthetic textured frames (batch of 4 pairs cycled to dodge caching)
+    imgs = jnp.asarray(
+        rng.uniform(0, 255, (4, 2, H, W)).astype(np.float32)
+    )
+    lm_pos = jnp.asarray(
+        np.stack(
+            [rng.uniform(-8, 8, N_LANDMARKS), rng.uniform(-5, 5, N_LANDMARKS),
+             rng.uniform(3, 30, N_LANDMARKS)], -1,
+        ).astype(np.float32)
+    )
+    lm_desc = jnp.asarray(
+        rng.integers(0, 2**32, (N_LANDMARKS, 8), dtype=np.uint32)
+    )
+    lm_dist = jnp.linalg.norm(lm_pos, axis=-1)
+
+    @jax.jit
+    def frame_step(img_l, img_r, Tcw0):
+        fl = extract(img_l, cfg, capacity=F_CAP)
+        fr = extract(img_r, cfg, capacity=F_CAP)
+        fl = match_stereo_refined(fl, fr, img_l, img_r, bf=cam.bf)
+        res = search_by_projection_landmarks(
+            cam, fl, Tcw0,
+            lm_pos, lm_pos / lm_dist[:, None], lm_desc,
+            lm_dist * 1.05, lm_dist / 1.2**8,
+            jnp.ones(N_LANDMARKS, bool), jnp.zeros(F_CAP, bool), th=3.0,
+        )
+        lm_id = res.lm_for_feature
+        X = lm_pos[jnp.clip(lm_id, 0, N_LANDMARKS - 1)]
+        has = lm_id >= 0
+        opt = pose_optimization(
+            cam, Tcw0, X, fl.uv, fl.ur, jnp.ones(F_CAP), has,
+            has & (fl.ur > 0),
+        )
+        return opt.Tcw, opt.num_inliers, fl.valid.sum()
+
+    Tcw = jnp.eye(4)
+    # warmup/compile
+    out = frame_step(imgs[0, 0], imgs[0, 1], Tcw)
+    jax.block_until_ready(out)
+
+    n_frames = 60
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        pair = imgs[i % 4]
+        out = frame_step(pair[0], pair[1], Tcw)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+
+    print(json.dumps({
+        "metric": "tracked_frames_per_second_1chip_1280x720_stereo_1000feat",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # never leave the driver without a line
+        print(json.dumps({
+            "metric": "tracked_frames_per_second_1chip_1280x720_stereo_1000feat",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": str(e)[:200],
+        }))
+        sys.exit(1)

@@ -366,6 +366,54 @@ def erase_associations(ms: MapState, k, feat_idx, mask):
     )
 
 
+def erase_observations(ms: MapState, lm_rows: jnp.ndarray, slots: jnp.ndarray,
+                       mask: jnp.ndarray) -> MapState:
+    """Remove specific (landmark, obs-slot) observations and the matching
+    KF-side references (outlier erasure after BA,
+    LocalBundleAdjustment.cc:154-198)."""
+    L, O = ms.L, ms.O
+    ok = mask & (lm_rows >= 0) & (slots >= 0)
+    lr = jnp.clip(lm_rows, 0, L - 1)
+    sl = jnp.clip(slots, 0, O - 1)
+    ok = ok & ms.lm.obs_valid[lr, sl]
+    kf_i = ms.lm.obs_kf[lr, sl]
+    feat_i = ms.lm.obs_feat[lr, sl]
+    tgt_l = jnp.where(ok, lr, L)
+    lm = ms.lm._replace(
+        obs_valid=ms.lm.obs_valid.at[tgt_l, sl].set(False, mode="drop"),
+        n_obs=ms.lm.n_obs.at[tgt_l].add(-1, mode="drop"),
+    )
+    tgt_k = jnp.where(ok, jnp.clip(kf_i, 0, ms.K - 1), ms.K)
+    kf = ms.kf._replace(
+        lm_id=ms.kf.lm_id.at[tgt_k, jnp.clip(feat_i, 0, ms.F - 1)].set(
+            -1, mode="drop"
+        )
+    )
+    return ms._replace(lm=lm, kf=kf)
+
+
+def kf_features(ms: MapState, k):
+    """View keyframe k's stored features as a FrameFeatures bundle (for
+    matching kernels that operate on frames)."""
+    kc = jnp.clip(jnp.asarray(k), 0, ms.K - 1)
+    return FrameFeatures(
+        uv=ms.kf.uv[kc],
+        ur=ms.kf.ur[kc],
+        depth=ms.kf.depth[kc],
+        level=ms.kf.level[kc],
+        angle=ms.kf.angle[kc],
+        desc=ms.kf.desc[kc],
+        valid=ms.kf.kp_valid[kc],
+    )
+
+
+def camera_centers(ms: MapState) -> jnp.ndarray:
+    """[K, 3] world-frame camera centers of all keyframes."""
+    R = ms.kf.Tcw[:, :3, :3]
+    t = ms.kf.Tcw[:, :3, 3]
+    return -jnp.einsum("kji,kj->ki", R, t)
+
+
 def resolve_landmarks(ms: MapState, lm_idx: jnp.ndarray) -> jnp.ndarray:
     """Follow one step of replacement indirection and mask bad/invalid
     landmarks to -1 (MapPoint::replace consumers)."""

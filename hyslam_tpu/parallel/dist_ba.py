@@ -1,0 +1,112 @@
+"""Distributed bundle adjustment: landmark-sharded Schur reduction over psum.
+
+The multi-host scale-out of the BA solver (BASELINE.json north star):
+keyframe poses are replicated (small), the landmark axis of the observation
+blocks is sharded over the mesh 'lm' axis. Each device linearizes its
+landmark slice, contributes partial (Hpp, b_pose, S_red, b_red) which are
+reduced with psum over ICI, the dense reduced camera system is solved
+replicated, and landmark back-substitution stays shard-local. One LM
+iteration is therefore: local einsums + one psum of a [6K, 6K] + [K, 6]
+pair + replicated Cholesky-class solve — the communication volume is
+independent of the number of landmarks/observations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from hyslam_tpu.geometry import se3
+from hyslam_tpu.solver import robust
+from hyslam_tpu.solver.ba import (
+    BAProblem,
+    BAResult,
+    _backsub,
+    _linearize,
+    _obs_residuals,
+    _robust_cost,
+    _solve_poses,
+)
+
+
+def distributed_bundle_adjustment(
+    p: BAProblem,
+    mesh: Mesh,
+    n_iters: int = 10,
+    huber: bool = True,
+    chunk: int = 256,
+    lam0: float = 1e-4,
+) -> BAResult:
+    """LM bundle adjustment with the landmark axis sharded over mesh('lm').
+
+    Requires p.lm_pos.shape[0] divisible by the 'lm' axis size. Produces the
+    same result as solver.ba.bundle_adjustment (up to reduction order)."""
+    n_shards = mesh.shape["lm"]
+    L = p.lm_pos.shape[0]
+    assert L % n_shards == 0, f"L={L} not divisible by lm axis {n_shards}"
+
+    rep = P()
+    lm = P("lm")
+    cam_spec = type(p.cams)(*([rep] * len(p.cams)))
+    obs_spec = type(p.obs)(*([lm] * len(p.obs)))
+    prob_spec = BAProblem(
+        kf_Tcw=rep, kf_fixed=rep, cams=cam_spec, lm_pos=lm, lm_valid=lm,
+        obs=obs_spec,
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(prob_spec,),
+        out_specs=(rep, lm, lm, lm, rep),
+        check_rep=False,
+    )
+    def run(pl: BAProblem):
+        obs_active = pl.obs.valid
+
+        def cost_of(kf_Tcw, lm_pos):
+            local = _robust_cost(pl, kf_Tcw, lm_pos, huber)
+            return jax.lax.psum(local, "lm")
+
+        def step(state, _):
+            kf_Tcw, lm_pos, lam, cost = state
+            Hpp, b_pose, S_red, b_red, Vinv, Wlo, b_lm, kf_idx = _linearize(
+                pl, kf_Tcw, lm_pos, lam, obs_active, huber, chunk
+            )
+            # reduce the camera system over landmark shards (the collective
+            # at the heart of distributed BA)
+            Hpp = jax.lax.psum(Hpp, "lm")
+            b_pose = jax.lax.psum(b_pose, "lm")
+            S_red = jax.lax.psum(S_red, "lm")
+            b_red = jax.lax.psum(b_red, "lm")
+            delta_pose = _solve_poses(Hpp, b_pose, S_red, b_red, pl.kf_fixed, lam)
+            delta_lm = _backsub(Vinv, Wlo, b_lm, kf_idx, delta_pose, pl.lm_valid)
+
+            kf_new = se3.exp(delta_pose) @ kf_Tcw
+            kf_new = jnp.where(pl.kf_fixed[:, None, None], kf_Tcw, kf_new)
+            lm_new = lm_pos + delta_lm
+            new_cost = cost_of(kf_new, lm_new)
+            accept = new_cost < cost
+            kf_out = jnp.where(accept, kf_new, kf_Tcw)
+            lm_out = jnp.where(accept, lm_new, lm_pos)
+            lam_out = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e4)
+            return (kf_out, lm_out, lam_out, jnp.minimum(new_cost, cost)), None
+
+        cost0 = cost_of(pl.kf_Tcw, pl.lm_pos)
+        init = (pl.kf_Tcw, pl.lm_pos, jnp.asarray(lam0, pl.kf_Tcw.dtype), cost0)
+        (kf_Tcw, lm_pos, _, cost), _ = jax.lax.scan(step, init, None, length=n_iters)
+
+        r, pc, _, _ = _obs_residuals(pl, kf_Tcw, lm_pos)
+        c2 = pl.obs.inv_sigma2 * jnp.sum(r * r, axis=-1)
+        th = jnp.where(pl.obs.stereo, robust.CHI2_STEREO, robust.CHI2_MONO)
+        inlier = pl.obs.valid & (c2 <= th) & (pc[..., 2] > 0.0)
+        return kf_Tcw, lm_pos, inlier, c2, cost
+
+    kf_Tcw, lm_pos, inlier, c2, cost = jax.jit(run)(p)
+    return BAResult(
+        kf_Tcw=kf_Tcw, lm_pos=lm_pos, obs_chi2=c2, obs_inlier=inlier, cost=cost
+    )

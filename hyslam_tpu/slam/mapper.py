@@ -1,0 +1,527 @@
+"""Mapping jobs: new-keyframe integration, landmark culling, triangulation,
+fusion, local BA, keyframe culling.
+
+Replaces src/slam/mapping (MapJob subclasses, SURVEY.md §2.3) and the
+Mapping thread's job sequencing (src/main/Mapping.cpp:165-282). Each job is
+a batched pass over the map arenas; the host Mapper.integrate_keyframe()
+sequences them exactly like SetupMandatoryJobs -> SetupOptionalJobs. The
+parameter defaults mirror config/slam_mapping_config.yaml.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyslam_tpu.core.frame import level_inv_sigma2
+from hyslam_tpu.core import mapstate as M
+from hyslam_tpu.core.mapstate import MapState
+from hyslam_tpu.features.matcher import (
+    fundamental_from_poses,
+    search_by_projection_landmarks,
+    search_for_triangulation,
+)
+from hyslam_tpu.geometry import se3
+from hyslam_tpu.geometry.camera import Camera
+from hyslam_tpu.geometry.triangulation import projection_matrix, triangulate_dlt
+from hyslam_tpu.solver.ba import (
+    BAObservations,
+    BAProblem,
+    CamArrays,
+    local_ba_two_phase,
+)
+
+
+class MapperParams(NamedTuple):
+    """Defaults = config/slam_mapping_config.yaml values."""
+
+    min_lm_obs_mono: int = 2
+    min_lm_obs_stereo: int = 3
+    kf_grace_period: int = 3
+    triang_nn_stereo: int = 10
+    triang_nn_mono: int = 15
+    triang_ratio_factor: float = 1.8
+    triang_min_baseline_depth_ratio: float = 0.010
+    triang_err_mono: float = 5.5
+    triang_err_stereo: float = 7.8
+    fuse_nn: int = 10
+    fuse_second_nn: int = 5
+    kfcull_obs_thresh: int = 3
+    kfcull_frac_redundant: float = 0.85
+
+
+# ---------------------------------------------------------------------------
+# LandMarkCuller (mandatory job)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("is_mono",))
+def cull_landmarks(ms: MapState, cur_kf_id, params: MapperParams,
+                   is_mono: bool = False) -> MapState:
+    """LandMarkCuller::run: recent landmarks lose one protection tick per new
+    keyframe; once unprotected, those still under-observed after the grace
+    period are erased."""
+    thresh = params.min_lm_obs_mono if is_mono else params.min_lm_obs_stereo
+    lm = ms.lm
+    recent = lm.valid & ~lm.bad & (lm.first_kf >= 0)
+    age = cur_kf_id - lm.first_kf
+    in_review = recent & (age <= params.kf_grace_period + 1)
+    prot = jnp.where(in_review & (lm.protection > 0), lm.protection - 1, lm.protection)
+    cull = (
+        recent
+        & (prot == 0)
+        & (age >= params.kf_grace_period)
+        & (age <= params.kf_grace_period + 1)
+        & (lm.n_obs <= thresh)
+    )
+    ms = ms._replace(lm=lm._replace(protection=prot))
+    return M.set_landmarks_bad(ms, cull)
+
+
+# ---------------------------------------------------------------------------
+# LandMarkTriangulator (optional job)
+# ---------------------------------------------------------------------------
+
+def _scene_median_depth(ms: MapState, k, cam: Camera):
+    lm_id = ms.kf.lm_id[k]
+    has = lm_id >= 0
+    pos = ms.lm.pos[jnp.clip(lm_id, 0, ms.L - 1)]
+    z = se3.apply(ms.kf.Tcw[k], pos)[..., 2]
+    z = jnp.where(has, z, jnp.nan)
+    return jnp.nanmedian(z)
+
+
+@partial(jax.jit, static_argnames=("cam", "cam2"))
+def _triangulate_pair(
+    ms: MapState, k1, k2, cam: Camera, cam2: Camera, params: MapperParams
+):
+    """Triangulate new landmarks between keyframes k1 (new) and k2
+    (covisible neighbor): epipolar match of unmatched features, parallax
+    arbitration DLT vs stereo unprojection, depth/reproj/scale gates
+    (LandMarkTriangulator.cpp:17-201). Returns (ms, n_new)."""
+    F = ms.F
+    f1 = M.kf_features(ms, k1)
+    f2 = M.kf_features(ms, k2)
+    T1 = ms.kf.Tcw[k1]
+    T2 = ms.kf.Tcw[k2]
+    F12 = fundamental_from_poses(cam, T1, cam2, T2)
+    un1 = ms.kf.lm_id[k1] < 0
+    un2 = ms.kf.lm_id[k2] < 0
+    idx2, _ = search_for_triangulation(cam, f1, f2, un1, un2, F12)
+    ok = idx2 >= 0
+    i2 = jnp.clip(idx2, 0, F - 1)
+
+    # rays in world frame
+    C1 = -jnp.einsum("ji,j->i", T1[:3, :3], T1[:3, 3])
+    C2 = -jnp.einsum("ji,j->i", T2[:3, :3], T2[:3, 3])
+    bl = jnp.linalg.norm(C2 - C1)
+
+    def backproject_ray(T, camx, uv):
+        d = jnp.stack(
+            [(uv[:, 0] - camx.cx) / camx.fx, (uv[:, 1] - camx.cy) / camx.fy,
+             jnp.ones(uv.shape[0])], axis=-1,
+        )
+        return jnp.einsum("ji,nj->ni", T[:3, :3], d)
+
+    ray1 = backproject_ray(T1, cam, f1.uv)
+    ray2 = backproject_ray(T2, cam2, f2.uv[i2])
+    cos_par = jnp.sum(ray1 * ray2, -1) / jnp.maximum(
+        jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1), 1e-9
+    )
+    st1 = f1.ur > 0
+    st2 = f2.ur[i2] > 0
+    cos_st1 = jnp.where(
+        st1, jnp.cos(2.0 * jnp.arctan2(cam.baseline / 2.0, jnp.maximum(f1.depth, 1e-6))),
+        cos_par + 1.0,
+    )
+    cos_st2 = jnp.where(
+        st2,
+        jnp.cos(2.0 * jnp.arctan2(cam2.baseline / 2.0,
+                                  jnp.maximum(f2.depth[i2], 1e-6))),
+        cos_par + 1.0,
+    )
+    cos_stereo = jnp.minimum(cos_st1, cos_st2)
+
+    P1 = projection_matrix(cam.K(), T1)
+    P2 = projection_matrix(cam2.K(), T2)
+    X_dlt = triangulate_dlt(
+        jnp.broadcast_to(P1, (F, 3, 4)), jnp.broadcast_to(P2, (F, 3, 4)),
+        f1.uv, f2.uv[i2],
+    )
+    X_st1 = se3.apply(se3.inverse(T1), jnp.stack(
+        [(f1.uv[:, 0] - cam.cx) / cam.fx * f1.depth,
+         (f1.uv[:, 1] - cam.cy) / cam.fy * f1.depth, f1.depth], -1))
+    X_st2 = se3.apply(se3.inverse(T2), jnp.stack(
+        [(f2.uv[i2, 0] - cam2.cx) / cam2.fx * f2.depth[i2],
+         (f2.uv[i2, 1] - cam2.cy) / cam2.fy * f2.depth[i2], f2.depth[i2]], -1))
+
+    use_dlt = (cos_par < cos_stereo) & (cos_par > 0) & (
+        st1 | st2 | (cos_par < 0.9998)
+    )
+    use_st1 = ~use_dlt & st1 & (cos_st1 < cos_st2)
+    use_st2 = ~use_dlt & st2 & ~use_st1
+    X = jnp.where(use_dlt[:, None], X_dlt,
+                  jnp.where(use_st1[:, None], X_st1, X_st2))
+    ok = ok & (use_dlt | use_st1 | use_st2)
+
+    # gates: positive depth in both, reprojection chi2, scale consistency
+    pc1 = se3.apply(T1, X)
+    pc2 = se3.apply(T2, X)
+    ok = ok & (pc1[:, 2] > 0) & (pc2[:, 2] > 0)
+
+    def reproj_err2(camx, pc, uv):
+        zs = jnp.maximum(pc[:, 2], 1e-9)
+        u = camx.fx * pc[:, 0] / zs + camx.cx
+        v = camx.fy * pc[:, 1] / zs + camx.cy
+        return (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+
+    sig1 = 1.2 ** (2.0 * f1.level.astype(jnp.float32))
+    sig2 = 1.2 ** (2.0 * f2.level[i2].astype(jnp.float32))
+    th1 = jnp.where(st1, params.triang_err_stereo, params.triang_err_mono) * sig1
+    th2 = jnp.where(st2, params.triang_err_stereo, params.triang_err_mono) * sig2
+    ok = ok & (reproj_err2(cam, pc1, f1.uv) <= th1)
+    ok = ok & (reproj_err2(cam2, pc2, f2.uv[i2]) <= th2)
+
+    d1 = jnp.linalg.norm(X - C1, axis=-1)
+    d2 = jnp.linalg.norm(X - C2, axis=-1)
+    ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+    ratio_size = 1.2 ** (f1.level - f2.level[i2]).astype(jnp.float32)
+    rf = params.triang_ratio_factor
+    ok = ok & (ratio_dist * rf >= ratio_size) & (ratio_dist <= ratio_size * rf)
+    ok = ok & (d1 > 1e-6) & (d2 > 1e-6) & (bl > 1e-9)
+
+    ms, new_idx = M.add_landmarks(
+        ms, X, f1.desc, k1, jnp.arange(F, dtype=jnp.int32), ok, protection=3
+    )
+    ms = M.add_associations(ms, k2, i2, new_idx, ok)
+    return ms, jnp.sum(ok.astype(jnp.int32))
+
+
+def triangulate_new_landmarks(ms: MapState, kf_id: int, cam: Camera,
+                              params: MapperParams, is_mono: bool = False):
+    """Host driver: best covisible neighbors with sufficient baseline."""
+    nn = params.triang_nn_mono if is_mono else params.triang_nn_stereo
+    ids, _ = M.covis_neighbors(ms, kf_id, nn, min_weight=1)
+    ids = np.asarray(ids)
+    centers = np.asarray(M.camera_centers(ms))
+    c1 = centers[kf_id]
+    n_total = 0
+    for k2 in ids:
+        if k2 < 0:
+            continue
+        baseline = float(np.linalg.norm(centers[k2] - c1))
+        if not is_mono:
+            if baseline < cam.baseline:
+                continue
+        else:
+            med = float(_scene_median_depth(ms, int(k2), cam))
+            if not np.isfinite(med) or baseline / max(med, 1e-9) < \
+                    params.triang_min_baseline_depth_ratio:
+                continue
+        ms, n = _triangulate_pair(ms, kf_id, int(k2), cam, cam, params)
+        n_total += int(n)
+    return ms, n_total
+
+
+# ---------------------------------------------------------------------------
+# LandMarkFuser (optional job)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cam",))
+def _fuse_into_kf(ms: MapState, k, lm_rows: jnp.ndarray, cam: Camera,
+                  th: float = 3.0):
+    """Project candidate landmarks [N] into keyframe k; matched features
+    either gain an association or trigger landmark replacement keeping the
+    better-observed one (FeatureMatcher::Fuse + Map::replaceMapPoint)."""
+    f = M.kf_features(ms, k)
+    N = lm_rows.shape[0]
+    lmc = jnp.clip(lm_rows, 0, ms.L - 1)
+    valid = (lm_rows >= 0) & ms.lm.valid[lmc] & ~ms.lm.bad[lmc]
+    res = search_by_projection_landmarks(
+        cam, f, ms.kf.Tcw[k],
+        ms.lm.pos[lmc], ms.lm.normal[lmc], ms.lm.desc[lmc],
+        ms.lm.max_dist[lmc], ms.lm.min_dist[lmc], valid,
+        already_matched=jnp.zeros((ms.F,), bool),  # fuse also checks matched
+        th=th, ratio=1.0,
+    )
+    feat_rows = res.lm_for_feature                      # [F] -> row in lm_rows
+    cand = jnp.where(feat_rows >= 0, lm_rows[jnp.clip(feat_rows, 0, N - 1)], -1)
+    existing = ms.kf.lm_id[jnp.clip(k, 0, ms.K - 1)]
+    both = (cand >= 0) & (existing >= 0) & (cand != existing)
+    add_new = (cand >= 0) & (existing < 0)
+    # keep the landmark with more observations (MapPointDB::replace rule)
+    n_cand = ms.lm.n_obs[jnp.clip(cand, 0, ms.L - 1)]
+    n_exist = ms.lm.n_obs[jnp.clip(existing, 0, ms.L - 1)]
+    src = jnp.where(n_cand > n_exist, existing, cand)
+    dst = jnp.where(n_cand > n_exist, cand, existing)
+    ms = M.replace_landmarks(ms, src, dst, both)
+    ms = M.add_associations(ms, k, jnp.arange(ms.F, dtype=jnp.int32), cand, add_new)
+    return ms, jnp.sum(both.astype(jnp.int32)), jnp.sum(add_new.astype(jnp.int32))
+
+
+def fuse_landmarks(ms: MapState, kf_id: int, cam: Camera, params: MapperParams):
+    """LandMarkFuser::run: fuse this KF's landmarks into its 1st+2nd degree
+    covisibility neighborhood and vice versa."""
+    ids, _ = M.covis_neighbors(ms, kf_id, params.fuse_nn, min_weight=1)
+    ids = np.asarray(ids)
+    targets = []
+    for k in ids:
+        if k < 0:
+            continue
+        targets.append(int(k))
+        second, _ = M.covis_neighbors(ms, int(k), params.fuse_second_nn, min_weight=1)
+        for s in np.asarray(second):
+            if s >= 0 and s != kf_id:
+                targets.append(int(s))
+    targets = list(dict.fromkeys(targets))  # dedup, keep order
+
+    own = ms.kf.lm_id[kf_id]
+    own_rows = jnp.where(own >= 0, own, -1)
+    n_rep = n_add = 0
+    # forward: this KF's landmarks into neighbors
+    for t in targets:
+        ms, r, a = _fuse_into_kf(ms, t, own_rows, cam)
+        n_rep += int(r)
+        n_add += int(a)
+    # reverse: neighbors' landmarks into this KF
+    for t in targets[: params.fuse_nn]:
+        rows = ms.kf.lm_id[t]
+        ms, r, a = _fuse_into_kf(ms, kf_id, jnp.where(rows >= 0, rows, -1), cam)
+        n_rep += int(r)
+        n_add += int(a)
+    ms = M.update_landmark_stats(ms)
+    ms = M.refresh_covisibility(ms)
+    return ms, n_rep, n_add
+
+
+# ---------------------------------------------------------------------------
+# LocalBundleAdjustmentJob (optional)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cam", "max_local_kf", "max_lm"))
+def _gather_local_ba(ms: MapState, kf_id, cam: Camera,
+                     max_local_kf: int = 32, max_lm: int = 4096):
+    """Assemble a BAProblem for the covisibility neighborhood of kf_id:
+    local KFs (1-hop covis + self), their landmarks, and fixed observer KFs
+    (LocalBundleAdjustment::FindLocalKFs/FindLocalMapPoints/FindFixedKFs).
+
+    Returns (problem, local_kf_ids [Kl], lm_rows [max_lm], obs_slots)."""
+    K, L, O, F = ms.K, ms.L, ms.O, ms.F
+    w = ms.covis[kf_id] * (ms.kf.valid & ~ms.kf.bad).astype(jnp.int32)
+    w = w.at[kf_id].set(1 << 20)  # self first
+    top_w, local_ids = jax.lax.top_k(w, max_local_kf)
+    local_ok = top_w > 0
+    is_local = jnp.zeros((K,), bool).at[jnp.where(local_ok, local_ids, K)].set(
+        True, mode="drop"
+    )
+
+    # landmarks of local KFs
+    src = jnp.where(
+        is_local[:, None] & (ms.kf.lm_id >= 0), jnp.clip(ms.kf.lm_id, 0, L - 1), L
+    )
+    lm_hit = jnp.zeros((L + 1,), bool).at[src.reshape(-1)].set(True, mode="drop")[:L]
+    lm_hit = lm_hit & ms.lm.valid & ~ms.lm.bad
+    _, lm_rows = jax.lax.top_k(lm_hit.astype(jnp.int32), max_lm)
+    lm_ok = lm_hit[lm_rows]
+    lmc = jnp.clip(lm_rows, 0, L - 1)
+
+    # observers of these landmarks that are not local -> fixed
+    obs_kf = ms.lm.obs_kf[lmc]                       # [max_lm, O]
+    obs_ok = ms.lm.obs_valid[lmc] & lm_ok[:, None]
+    obs_kfc = jnp.clip(obs_kf, 0, K - 1)
+    observer = jnp.zeros((K + 1,), bool).at[
+        jnp.where(obs_ok, obs_kfc, K).reshape(-1)
+    ].set(True, mode="drop")[:K]
+    fixed_global = observer & ~is_local & ms.kf.valid & ~ms.kf.bad
+
+    # slot table: local KFs take slots [0, max_local_kf), fixed observers get
+    # appended slots
+    slot_of = jnp.full((K,), -1, jnp.int32)
+    slot_of = slot_of.at[jnp.where(local_ok, local_ids, K)].set(
+        jnp.arange(max_local_kf, dtype=jnp.int32), mode="drop"
+    )
+    n_fix_cap = max_local_kf  # same cap for fixed slots
+    fix_rank = jnp.cumsum(fixed_global.astype(jnp.int32)) - 1
+    fix_slot = jnp.where(
+        fixed_global & (fix_rank < n_fix_cap), max_local_kf + fix_rank, -1
+    )
+    slot_of = jnp.where(fix_slot >= 0, fix_slot, slot_of)
+
+    KL = max_local_kf + n_fix_cap
+    # per-slot pose/camera arrays
+    kf_of_slot = jnp.full((KL,), 0, jnp.int32)
+    kf_of_slot = kf_of_slot.at[jnp.arange(max_local_kf)].set(
+        jnp.clip(local_ids, 0, K - 1)
+    )
+    kf_of_slot = kf_of_slot.at[
+        jnp.where(fix_slot >= 0, fix_slot, KL)
+    ].set(jnp.arange(K, dtype=jnp.int32), mode="drop")
+    slot_used = jnp.zeros((KL,), bool).at[
+        jnp.where(local_ok, jnp.arange(max_local_kf), KL)
+    ].set(True, mode="drop")
+    slot_used = slot_used.at[jnp.where(fix_slot >= 0, fix_slot, KL)].set(
+        True, mode="drop"
+    )
+    slot_fixed = jnp.arange(KL) >= max_local_kf
+    # the oldest local KF is held fixed too when it is the map origin
+    slot_fixed = slot_fixed | ms.kf.origin[kf_of_slot]
+
+    obs_slot_kf = jnp.where(obs_ok, slot_of[obs_kfc], -1)
+    obs_feat = jnp.clip(ms.lm.obs_feat[lmc], 0, F - 1)
+    obs_valid = obs_ok & (obs_slot_kf >= 0)
+    kf_rows = jnp.clip(obs_kfc, 0, K - 1)
+    uv = ms.kf.uv[kf_rows, obs_feat]
+    ur = ms.kf.ur[kf_rows, obs_feat]
+    lvl = ms.kf.level[kf_rows, obs_feat]
+    inv_s2 = level_inv_sigma2()[jnp.clip(lvl, 0, 7)]
+
+    cams = CamArrays(
+        fx=jnp.full((KL,), cam.fx), fy=jnp.full((KL,), cam.fy),
+        cx=jnp.full((KL,), cam.cx), cy=jnp.full((KL,), cam.cy),
+        bf=jnp.full((KL,), cam.bf),
+    )
+    prob = BAProblem(
+        kf_Tcw=ms.kf.Tcw[kf_of_slot],
+        kf_fixed=slot_fixed | ~slot_used,
+        cams=cams,
+        lm_pos=ms.lm.pos[lmc],
+        lm_valid=lm_ok,
+        obs=BAObservations(
+            kf=jnp.clip(obs_slot_kf, 0, KL - 1),
+            uv=uv, ur=jnp.where(ur > 0, ur, 0.0),
+            inv_sigma2=inv_s2,
+            stereo=(ur > 0) & obs_valid,
+            valid=obs_valid,
+        ),
+    )
+    return prob, kf_of_slot, slot_used & ~slot_fixed, lm_rows, lm_ok
+
+
+@partial(jax.jit, static_argnames=())
+def _scatter_ba_results(ms: MapState, kf_of_slot, slot_movable, lm_rows, lm_ok,
+                        kf_Tcw_new, lm_pos_new):
+    K, L = ms.K, ms.L
+    tgt_k = jnp.where(slot_movable, jnp.clip(kf_of_slot, 0, K - 1), K)
+    Tcw = ms.kf.Tcw.at[tgt_k].set(kf_Tcw_new, mode="drop")
+    tgt_l = jnp.where(lm_ok, jnp.clip(lm_rows, 0, L - 1), L)
+    pos = ms.lm.pos.at[tgt_l].set(lm_pos_new, mode="drop")
+    return ms._replace(kf=ms.kf._replace(Tcw=Tcw), lm=ms.lm._replace(pos=pos))
+
+
+def local_bundle_adjustment(ms: MapState, kf_id: int, cam: Camera,
+                            max_local_kf: int = 32, max_lm: int = 4096):
+    """LocalBundleAdjustment::Run: two-phase robust BA over the covisibility
+    neighborhood; outlier observations are erased from the map afterwards."""
+    prob, kf_of_slot, slot_movable, lm_rows, lm_ok = _gather_local_ba(
+        ms, kf_id, cam, max_local_kf, max_lm
+    )
+    res = local_ba_two_phase(prob, chunk=256)
+    ms = _scatter_ba_results(
+        ms, kf_of_slot, slot_movable, lm_rows, lm_ok, res.kf_Tcw, res.lm_pos
+    )
+    # erase outlier observations
+    out = prob.obs.valid & ~res.obs_inlier               # [max_lm, O]
+    slots = jnp.broadcast_to(jnp.arange(ms.O)[None, :], out.shape)
+    lm_rep = jnp.broadcast_to(lm_rows[:, None], out.shape)
+    ms = M.erase_observations(
+        ms, lm_rep.reshape(-1), slots.reshape(-1), out.reshape(-1)
+    )
+    ms = M.update_landmark_stats(ms)
+    return ms, float(res.cost)
+
+
+# ---------------------------------------------------------------------------
+# KeyFrameCuller (optional job)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cam",))
+def _kf_redundancy(ms: MapState, cam: Camera, params: MapperParams):
+    """[K] fraction of each KF's close landmarks that are redundantly
+    observed (>= 3 other KFs at same-or-finer scale, KeyFrameCuller.cpp)."""
+    K, L, F, O = ms.K, ms.L, ms.F, ms.O
+    lm_id = ms.kf.lm_id                                  # [K, F]
+    has = lm_id >= 0
+    lmc = jnp.clip(lm_id, 0, L - 1)
+    close = has & (ms.kf.depth > 0) & (ms.kf.depth < cam.close_depth)
+    # observation levels of each landmark's observers
+    obs_kf = ms.lm.obs_kf[lmc]                           # [K, F, O]
+    obs_feat = jnp.clip(ms.lm.obs_feat[lmc], 0, F - 1)
+    obs_ok = ms.lm.obs_valid[lmc]
+    obs_lvl = ms.kf.level[jnp.clip(obs_kf, 0, K - 1), obs_feat]
+    own_lvl = ms.kf.level[:, :, None]
+    k_idx = jnp.arange(K)[:, None, None]
+    other = obs_ok & (obs_kf != k_idx) & (obs_lvl <= own_lvl + 1)
+    n_other = jnp.sum(other.astype(jnp.int32), axis=-1)  # [K, F]
+    redundant = close & (n_other >= params.kfcull_obs_thresh)
+    n_close = jnp.sum(close.astype(jnp.int32), axis=-1)
+    n_red = jnp.sum(redundant.astype(jnp.int32), axis=-1)
+    frac = n_red / jnp.maximum(n_close, 1)
+    return jnp.where(n_close > 0, frac, 0.0)
+
+
+def cull_keyframes(ms: MapState, kf_id: int, cam: Camera, params: MapperParams):
+    """KeyFrameCuller::run: mark covisible neighbors of the new KF bad when
+    >= 85% of their close landmarks are redundant. SLAM camera only; at most
+    a third of candidates per pass like the reference's incremental pace."""
+    frac = _kf_redundancy(ms, cam, params)
+    ids, _ = M.covis_neighbors(ms, kf_id, 10, min_weight=1)
+    candidate = np.zeros(ms.K, bool)
+    for k in np.asarray(ids):
+        if k >= 0:
+            candidate[k] = True
+    fr = np.asarray(frac)
+    cull = candidate & (fr > params.kfcull_frac_redundant)
+    cull &= ~np.asarray(ms.kf.origin)
+    if not cull.any():
+        return ms, 0
+    ms = M.set_keyframes_bad(ms, jnp.asarray(cull))
+    ms = M.refresh_covisibility(ms)
+    ms = M.compute_spanning_parents(ms)
+    return ms, int(cull.sum())
+
+
+# ---------------------------------------------------------------------------
+# Mapper: the job sequencer (Mapping thread analog)
+# ---------------------------------------------------------------------------
+
+class Mapper:
+    """Sequences mandatory + optional jobs per keyframe
+    (Mapping::SetupMandatoryJobs/SetupOptionalJobs). `budget_level` mimics
+    the interrupt/suppression protocol: 0 = mandatory only (queue backed
+    up), 1 = +triangulation/fusion, 2 = full incl. local BA + KF culling."""
+
+    def __init__(self, cam: Camera, params: MapperParams | None = None,
+                 is_mono: bool = False):
+        self.cam = cam
+        self.params = params or MapperParams()
+        self.is_mono = is_mono
+        self.kf_count = 0
+
+    def integrate_keyframe(self, ms: MapState, kf_id: int,
+                           budget_level: int = 2, cull_kfs: bool = True):
+        stats = {}
+        p = self.params
+        # mandatory: bookkeeping refresh (ProcessNewKeyFrame equivalent: the
+        # associations were bound in add_keyframe) + landmark culling
+        ms = M.refresh_covisibility(ms)
+        ms = M.compute_spanning_parents(ms)
+        ms = M.update_landmark_stats(ms)
+        ms = cull_landmarks(ms, kf_id, p, self.is_mono)
+        if budget_level >= 1:
+            ms, n_tri = triangulate_new_landmarks(ms, kf_id, self.cam, p,
+                                                  self.is_mono)
+            stats["triangulated"] = n_tri
+            ms, n_rep, n_add = fuse_landmarks(ms, kf_id, self.cam, p)
+            stats["fused"] = n_rep
+            stats["fuse_added"] = n_add
+        if budget_level >= 2 and self.kf_count > 2:
+            ms, cost = local_bundle_adjustment(ms, kf_id, self.cam)
+            stats["ba_cost"] = cost
+            if cull_kfs and not self.is_mono:
+                ms, n_cull = cull_keyframes(ms, kf_id, self.cam, p)
+                stats["kf_culled"] = n_cull
+        self.kf_count += 1
+        return ms, stats

@@ -1,0 +1,156 @@
+"""Tracking strategies: motion-model, reference-KF, local-map — the jitted
+compute behind the tracking state machine.
+
+Replaces src/slam/tracking/TrackMotionModel.cpp, TrackReferenceKeyFrame.cpp,
+TrackLocalMap.cpp. Each strategy is (match kernel) + (pose optimization) +
+(outlier pruning), composed from hyslam_tpu.features.matcher and
+hyslam_tpu.solver.pose_opt. Host code only sequences them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hyslam_tpu.core.frame import Frame, level_inv_sigma2
+from hyslam_tpu.core.mapstate import MapState, resolve_landmarks
+from hyslam_tpu.features.matcher import (
+    match_descriptors,
+    search_by_projection_frame,
+    search_by_projection_landmarks,
+)
+from hyslam_tpu.geometry.camera import Camera
+from hyslam_tpu.slam.localmap import LocalMap, build_local_map
+from hyslam_tpu.solver.pose_opt import pose_optimization
+
+
+class TrackResult(NamedTuple):
+    Tcw: jnp.ndarray
+    lm_id: jnp.ndarray       # [F] associations after pruning
+    n_inliers: jnp.ndarray
+    ok: jnp.ndarray          # success flag
+
+
+def _optimize_frame_pose(cam: Camera, feats, lm_id, lm_pos_table, Tcw0,
+                         min_inliers: int):
+    """Shared tail: pose-only LM on current associations + outlier pruning
+    (the pattern at TrackMotionModel.cpp:45-80)."""
+    F = feats.capacity
+    has = lm_id >= 0
+    X = lm_pos_table
+    inv_s2 = level_inv_sigma2()[jnp.clip(feats.level, 0, 7)]
+    stereo = has & (feats.ur > 0)
+    res = pose_optimization(
+        cam, Tcw0, X, feats.uv, feats.ur, inv_s2, has, stereo,
+    )
+    lm_out = jnp.where(res.inliers, lm_id, -1)
+    ok = res.num_inliers >= min_inliers
+    return TrackResult(
+        Tcw=res.Tcw, lm_id=lm_out, n_inliers=res.num_inliers, ok=ok
+    )
+
+
+@partial(jax.jit, static_argnames=("cam", "min_inliers"))
+def track_motion_model(
+    cam: Camera,
+    cur_feats,
+    Tcw_pred: jnp.ndarray,
+    last_feats,
+    last_lm_id: jnp.ndarray,
+    ms: MapState,
+    th: float = 7.0,
+    min_inliers: int = 20,
+) -> TrackResult:
+    """TrackMotionModel::track: constant-velocity predicted pose ->
+    projection match vs last frame -> pose optimization. The reference
+    retries with a widened window (2*th) when matches < 20
+    (TrackMotionModel.cpp:40-44); both passes run unconditionally here and
+    the wide result is used only if the narrow one is weak (no host sync)."""
+    last_lm_id = resolve_landmarks(ms, last_lm_id)
+    last_pos = ms.lm.pos[jnp.clip(last_lm_id, 0, ms.L - 1)]
+
+    lm_n, n_n = search_by_projection_frame(
+        cam, cur_feats, Tcw_pred, last_feats, last_lm_id, last_pos, th=th
+    )
+    lm_w, _ = search_by_projection_frame(
+        cam, cur_feats, Tcw_pred, last_feats, last_lm_id, last_pos, th=2 * th
+    )
+    lm_id = jnp.where(n_n >= 20, lm_n, lm_w)
+    pos_table = ms.lm.pos[jnp.clip(lm_id, 0, ms.L - 1)]
+    return _optimize_frame_pose(
+        cam, cur_feats, lm_id, pos_table, Tcw_pred, min_inliers
+    )
+
+
+@partial(jax.jit, static_argnames=("cam", "min_inliers"))
+def track_reference_keyframe(
+    cam: Camera,
+    cur_feats,
+    Tcw0: jnp.ndarray,
+    ms: MapState,
+    ref_kf,
+    min_inliers: int = 10,
+) -> TrackResult:
+    """TrackReferenceKeyFrame::track: descriptor-match the current frame
+    against the reference keyframe's landmark-bearing features (>=15 matches
+    required), optimize from the last pose."""
+    k = jnp.clip(ref_kf, 0, ms.K - 1)
+    kf_lm = resolve_landmarks(ms, ms.kf.lm_id[k])
+    kf_has = kf_lm >= 0
+    idx_b, n = match_descriptors(
+        cur_feats.desc, cur_feats.valid, cur_feats.angle,
+        ms.kf.desc[k], ms.kf.kp_valid[k] & kf_has, ms.kf.angle[k],
+        max_dist=50, ratio=0.7,
+    )
+    lm_id = jnp.where(idx_b >= 0, kf_lm[jnp.clip(idx_b, 0, ms.F - 1)], -1)
+    lm_id = jnp.where(n >= 15, lm_id, jnp.full_like(lm_id, -1))
+    pos_table = ms.lm.pos[jnp.clip(lm_id, 0, ms.L - 1)]
+    return _optimize_frame_pose(cam, cur_feats, lm_id, pos_table, Tcw0, min_inliers)
+
+
+class LocalMapResult(NamedTuple):
+    track: TrackResult
+    local: LocalMap
+    n_local_matches: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cam", "min_inliers", "local_capacity"))
+def track_local_map(
+    cam: Camera,
+    cur_feats,
+    Tcw0: jnp.ndarray,
+    cur_lm_id: jnp.ndarray,
+    ms: MapState,
+    th: float = 1.0,
+    min_inliers: int = 30,
+    local_capacity: int = 4096,
+) -> LocalMapResult:
+    """TrackLocalMap::track: build the local map from the frame's current
+    matches, harvest its landmarks, projection-match the still-unmatched
+    features, then optimize the pose against the enlarged association set."""
+    local = build_local_map(ms, cur_lm_id, capacity=local_capacity)
+    already = cur_lm_id >= 0
+    # exclude landmarks already matched in this frame from the search set
+    Lloc = local.lm_idx.shape[0]
+    cur_set = jnp.zeros((ms.L + 1,), bool).at[
+        jnp.where(already, jnp.clip(cur_lm_id, 0, ms.L - 1), ms.L)
+    ].set(True, mode="drop")
+    fresh = local.lm_valid & ~cur_set[jnp.clip(local.lm_idx, 0, ms.L - 1)]
+    res = search_by_projection_landmarks(
+        cam, cur_feats, Tcw0,
+        local.lm_pos, local.lm_normal, local.lm_desc,
+        local.lm_max_dist, local.lm_min_dist, fresh,
+        already_matched=already, th=th,
+    )
+    new_lm = jnp.where(
+        res.lm_for_feature >= 0,
+        local.lm_idx[jnp.clip(res.lm_for_feature, 0, Lloc - 1)],
+        -1,
+    )
+    lm_id = jnp.where(already, cur_lm_id, new_lm)
+    pos_table = ms.lm.pos[jnp.clip(lm_id, 0, ms.L - 1)]
+    tr = _optimize_frame_pose(cam, cur_feats, lm_id, pos_table, Tcw0, min_inliers)
+    return LocalMapResult(track=tr, local=local, n_local_matches=res.n_matches)

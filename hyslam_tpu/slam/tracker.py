@@ -1,0 +1,304 @@
+"""Per-camera tracking: the state machine + per-frame orchestration.
+
+Replaces the Tracking thread (src/main/Tracking.cpp) and the tracking state
+classes (src/slam/tracking/TrackingState*.cpp): a host-side state machine
+(control flow is cheap scalar logic, SURVEY.md §7.1) dispatching the jitted
+strategies in hyslam_tpu.slam.strategies. States and transitions follow
+Tracking_datastructs.h:21-30 and TrackingStateTransitionReinit.cpp:79-146:
+
+  INITIALIZE -> POSTINIT (5 forced-KF frames) -> NORMAL
+  NORMAL --loss--> REINITIALIZE (stereo SLAM: new registered submap at the
+                   velocity-extrapolated pose) or RELOCALIZE (mono/other)
+  NULL: imaging cameras while the SLAM camera is lost
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from hyslam_tpu.core import mapstate as M
+from hyslam_tpu.core import trajectory as TJ
+from hyslam_tpu.core.frame import FrameFeatures
+from hyslam_tpu.core.mapstate import MapCaps, MapState, empty_map_state
+from hyslam_tpu.geometry import se3
+from hyslam_tpu.geometry.camera import Camera
+from hyslam_tpu.slam.initializers import stereo_initialize
+from hyslam_tpu.slam.keyframe_policy import (
+    KeyFramePolicyParams,
+    KFDecisionInputs,
+    need_new_keyframe,
+    seed_close_landmarks,
+)
+from hyslam_tpu.slam.mapper import Mapper
+from hyslam_tpu.slam.strategies import (
+    track_local_map,
+    track_motion_model,
+    track_reference_keyframe,
+)
+
+
+class State(enum.Enum):
+    """eTrackingState analog (Tracking_datastructs.h:21-30)."""
+
+    NO_IMAGES_YET = 0
+    INITIALIZE = 1
+    POSTINIT = 2
+    NORMAL = 3
+    RELOCALIZE = 4
+    REINITIALIZE = 5
+    NULL = 6
+
+
+POSTINIT_FRAMES = 5          # TrackingStatePostInitialization hold
+MIN_INLIERS_NORMAL = 30      # TrackLocalMap success threshold
+MIN_INLIERS_RELOC = 50       # stricter right after relocalization
+
+
+@dataclass
+class TrackerTelemetry:
+    """Per-frame TSV telemetry row (tracking_data.txt analog,
+    Tracking.cpp:51-55)."""
+
+    frame_id: int = 0
+    state: str = ""
+    n_motion: int = 0
+    n_inliers: int = 0
+    n_local: int = 0
+    kf_inserted: int = -1
+    n_seeded: int = 0
+
+
+@dataclass
+class Tracker:
+    cam: Camera
+    cam_id: int = 0
+    caps: MapCaps = MapCaps()
+    is_mono: bool = False
+    policy: KeyFramePolicyParams = field(default_factory=KeyFramePolicyParams)
+    reset_interval: int = 0   # forced-loss fault injection
+                              # (TrackingStateNormal.cpp:78-82)
+
+    def __post_init__(self):
+        self.ms: MapState = empty_map_state(self.caps)
+        self.traj = TJ.empty_trajectory()
+        self.mapper = Mapper(self.cam, is_mono=self.is_mono)
+        self.state = State.INITIALIZE
+        self.last_feats: Optional[FrameFeatures] = None
+        self.last_lm_id = None
+        self.last_Tcw = np.eye(4, dtype=np.float32)
+        self.last_Tcr = np.eye(4, dtype=np.float32)
+        self.last_ref_kf = -1
+        self.ref_kf = -1
+        self.last_kf_frame_id = -(10**6)
+        self.postinit_left = 0
+        self.frames_since_reloc = 10**6
+        self.n_frames = 0
+        self.telemetry: list[TrackerTelemetry] = []
+
+    # -- public -------------------------------------------------------------
+
+    def track(self, feats: FrameFeatures, timestamp: float, frame_id: int):
+        """Process one frame; returns TrackerTelemetry."""
+        tel = TrackerTelemetry(frame_id=frame_id, state=self.state.name)
+        self.n_frames += 1
+        if self.state == State.NULL:
+            pass
+        elif self.state == State.INITIALIZE:
+            self._do_initialize(feats, timestamp, frame_id, tel)
+        elif self.state in (State.NORMAL, State.POSTINIT):
+            self._do_normal(feats, timestamp, frame_id, tel)
+        elif self.state == State.REINITIALIZE:
+            self._do_reinitialize(feats, timestamp, frame_id, tel)
+        elif self.state == State.RELOCALIZE:
+            self._do_relocalize(feats, timestamp, frame_id, tel)
+        self.telemetry.append(tel)
+        return tel
+
+    @property
+    def current_Tcw(self):
+        return self.last_Tcw
+
+    # -- states -------------------------------------------------------------
+
+    def _do_initialize(self, feats, timestamp, frame_id, tel,
+                       Tcw0=None, as_submap=False, tie_kf=-1):
+        if self.is_mono:
+            from hyslam_tpu.slam.mono_init import MonoInitializer  # lazy
+            if not hasattr(self, "_mono_init"):
+                self._mono_init = MonoInitializer(self.cam)
+            done, ms, kf_ids = self._mono_init.feed(
+                self.ms, feats, timestamp, frame_id, self.cam_id
+            )
+            self.ms = ms
+            if not done:
+                return
+            kf_id = kf_ids[-1]
+            self.last_Tcw = np.asarray(self.ms.kf.Tcw[kf_id])
+        else:
+            if as_submap:
+                self.ms, submap = M.create_submap(self.ms)
+            ms, kf_id, n = stereo_initialize(
+                self.ms, feats, self.cam, timestamp, frame_id, self.cam_id,
+                Tcw0=None if Tcw0 is None else jnp.asarray(Tcw0),
+            )
+            if kf_id < 0:
+                return
+            self.ms = ms
+            if as_submap:
+                # register immediately with a tiepoint at the init pose
+                self.ms = M.register_submap(
+                    self.ms, submap,
+                    Tse3_parent=jnp.asarray(self.last_Tcw), tie_kf=tie_kf,
+                )
+            tel.n_seeded = n
+            self.last_Tcw = np.asarray(self.ms.kf.Tcw[kf_id]) if Tcw0 is None \
+                else np.asarray(Tcw0, dtype=np.float32)
+        self.ref_kf = int(kf_id)
+        self.last_ref_kf = int(kf_id)
+        self.last_Tcr = np.eye(4, dtype=np.float32)
+        self.last_kf_frame_id = frame_id
+        self.last_feats = feats
+        self.last_lm_id = self.ms.kf.lm_id[int(kf_id)]
+        self.traj = TJ.append(
+            self.traj, timestamp, jnp.asarray(self.last_Tcw), int(kf_id),
+            self.ms.kf.Tcw[int(kf_id)], True,
+        )
+        self.state = State.POSTINIT
+        self.postinit_left = POSTINIT_FRAMES
+        tel.kf_inserted = int(kf_id)
+
+    def _update_last_frame(self):
+        """UpdateLastFrame (Tracking.cpp:249): re-derive the last frame's
+        pose from its (possibly re-optimized) reference keyframe."""
+        if self.last_ref_kf >= 0:
+            ref_pose = np.asarray(self.ms.kf.Tcw[self.last_ref_kf])
+            self.last_Tcw = (self.last_Tcr @ ref_pose).astype(np.float32)
+
+    def _do_normal(self, feats, timestamp, frame_id, tel):
+        self._update_last_frame()
+        # fault injection: forced tracking loss every reset_interval frames
+        if self.reset_interval and self.n_frames % self.reset_interval == 0:
+            self._lose_tracking()
+            tel.state += ">FORCED_LOSS"
+            return
+
+        # initial pose estimation: motion model, fallback reference KF
+        Tcw_pred = np.asarray(TJ.predict_pose(self.traj, jnp.asarray(timestamp)))
+        res = track_motion_model(
+            self.cam, feats, jnp.asarray(Tcw_pred),
+            self.last_feats, self.last_lm_id, self.ms,
+        )
+        tel.n_motion = int(res.n_inliers)
+        if not bool(res.ok):
+            res = track_reference_keyframe(
+                self.cam, feats, jnp.asarray(self.last_Tcw), self.ms, self.ref_kf
+            )
+        if not bool(res.ok):
+            self._lose_tracking()
+            return
+
+        # refine with the local map
+        lres = track_local_map(
+            self.cam, feats, res.Tcw, res.lm_id, self.ms,
+        )
+        tr = lres.track
+        tel.n_inliers = int(tr.n_inliers)
+        tel.n_local = int(lres.n_local_matches)
+        min_inl = (
+            MIN_INLIERS_RELOC if self.frames_since_reloc < 30 else MIN_INLIERS_NORMAL
+        )
+        if int(tr.n_inliers) < min_inl:
+            self._lose_tracking()
+            return
+
+        Tcw = np.asarray(tr.Tcw)
+        self.ref_kf = int(lres.local.ref_kf)
+
+        # keyframe decision
+        force = self.state == State.POSTINIT
+        depth = np.asarray(feats.depth)
+        has = np.asarray(tr.lm_id) >= 0
+        close = (depth > 0) & (depth < float(self.cam.close_depth))
+        inp = KFDecisionInputs(
+            n_inliers=int(tr.n_inliers),
+            frame_id=frame_id,
+            last_kf_frame_id=self.last_kf_frame_id,
+            n_kfs_in_map=int(np.asarray(self.ms.next_kf)),
+            n_tracked_close=int((close & has).sum()),
+            n_nontracked_close=int((close & ~has).sum()),
+            mapping_idle=True,
+            mapping_queue_len=0,
+            is_mono=self.is_mono,
+            force=force,
+        )
+        kf_id = -1
+        if need_new_keyframe(inp, self.policy):
+            kf_id = self._insert_keyframe(feats, tr, timestamp, frame_id, tel)
+
+        # trajectory append (relative to the reference keyframe)
+        ref = kf_id if kf_id >= 0 else self.ref_kf
+        ref_pose = self.ms.kf.Tcw[ref]
+        self.traj = TJ.append(
+            self.traj, timestamp, jnp.asarray(Tcw), ref, ref_pose, True
+        )
+        self.last_Tcw = Tcw
+        self.last_Tcr = (Tcw @ np.asarray(se3.inverse(ref_pose))).astype(np.float32)
+        self.last_ref_kf = int(ref)
+        self.last_feats = feats
+        self.last_lm_id = tr.lm_id
+        self.frames_since_reloc += 1
+        if self.state == State.POSTINIT:
+            self.postinit_left -= 1
+            if self.postinit_left <= 0:
+                self.state = State.NORMAL
+
+    def _insert_keyframe(self, feats, tr, timestamp, frame_id, tel) -> int:
+        ms, kf_id = M.add_keyframe(
+            self.ms, feats, jnp.asarray(tr.Tcw), timestamp, frame_id,
+            self.cam_id, tr.lm_id,
+        )
+        kf_id = int(kf_id)
+        if not self.is_mono:
+            ms, n_seeded = seed_close_landmarks(ms, kf_id, self.cam)
+            tel.n_seeded = int(n_seeded)
+        ms, stats = self.mapper.integrate_keyframe(ms, kf_id)
+        self.ms = ms
+        self.last_kf_frame_id = frame_id
+        self.ref_kf = kf_id
+        tel.kf_inserted = kf_id
+        return kf_id
+
+    def _lose_tracking(self):
+        """Transition on loss (TrackingStateTransitionReinit.cpp:79-146):
+        stereo SLAM reinitializes a registered submap; mono relocalizes."""
+        self.state = State.RELOCALIZE if self.is_mono else State.REINITIALIZE
+
+    def _do_reinitialize(self, feats, timestamp, frame_id, tel):
+        """TrackingStateReInitialize: new registered submap placed at the
+        velocity-extrapolated pose, tied to the last reference KF."""
+        Tcw0 = np.asarray(TJ.predict_pose(self.traj, jnp.asarray(timestamp)))
+        self._do_initialize(
+            feats, timestamp, frame_id, tel,
+            Tcw0=Tcw0, as_submap=True, tie_kf=self.last_ref_kf,
+        )
+        if self.state == State.POSTINIT:
+            tel.state += ">REINIT_OK"
+
+    def _do_relocalize(self, feats, timestamp, frame_id, tel):
+        from hyslam_tpu.slam.relocalization import try_relocalize  # lazy
+        ok, Tcw, lm_id, n = try_relocalize(self.cam, feats, self.ms)
+        tel.n_inliers = n
+        if not ok:
+            return
+        self.last_Tcw = np.asarray(Tcw)
+        self.last_Tcr = np.eye(4, dtype=np.float32)
+        self.last_feats = feats
+        self.last_lm_id = lm_id
+        self.frames_since_reloc = 0
+        self.state = State.NORMAL
+        tel.state += ">RELOC_OK"

@@ -182,11 +182,17 @@ def _robust_cost(p: BAProblem, kf_Tcw, lm_pos, huber: bool):
     return jnp.sum(cost * w_valid)
 
 
-def _assemble_and_solve(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bool,
-                        chunk: int):
-    """One Gauss-Newton/LM linearization + Schur solve.
+def _linearize(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bool,
+               chunk: int):
+    """Linearize all observations and reduce the landmark block.
 
-    Returns (delta_pose [K,6], delta_lm [L,3])."""
+    Returns (Hpp [K,6,6], b_pose [K,6], S_red [6K,6K], b_red [K,6],
+    Vinv [L,3,3], Wlo [L,O,6,3], b_lm [L,3], kf_idx [L,O]).
+
+    The first four are SUMS over landmarks — in multi-device BA each shard
+    computes them for its landmark slice and they are psum'ed
+    (hyslam_tpu.parallel.dist_ba); the rest stay shard-local for
+    back-substitution."""
     K = kf_Tcw.shape[0]
     L, O = p.obs.kf.shape
     dtype = kf_Tcw.dtype
@@ -263,8 +269,14 @@ def _assemble_and_solve(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bo
     (S_red, b_red), _ = jax.lax.scan(
         chunk_step, (S0, bh0), (Y_p, y_p, kf_p, w_any)
     )
+    return Hpp, b_pose, S_red, b_red, Vinv, Wlo, b_lm, kf_idx
 
-    # ---- reduced camera system ----
+
+def _solve_poses(Hpp, b_pose, S_red, b_red, kf_fixed, lam):
+    """Solve the reduced camera system (replicated across shards in the
+    distributed path). Returns delta_pose [K, 6]."""
+    K = Hpp.shape[0]
+    dtype = Hpp.dtype
     Hpp_d = Hpp + lam * jnp.eye(6, dtype=dtype) * jnp.maximum(
         jnp.einsum("kii->k", Hpp)[:, None, None] / 6.0, 1e-6
     )
@@ -274,21 +286,35 @@ def _assemble_and_solve(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bo
     bhat = (b_pose - b_red).reshape(K * 6)
 
     # fixed / unused poses: identity rows+cols, zero rhs
-    free = (~p.kf_fixed) & (jnp.einsum("kii->k", Hpp) > 0)
+    free = (~kf_fixed) & (jnp.einsum("kii->k", Hpp) > 0)
     fmask = jnp.repeat(free.astype(dtype), 6)
     S = S * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
     bhat = bhat * fmask
 
     delta_pose = jax.scipy.linalg.solve(S, bhat, assume_a="pos").reshape(K, 6)
-    delta_pose = jnp.where(jnp.isfinite(delta_pose), delta_pose, 0.0)
+    return jnp.where(jnp.isfinite(delta_pose), delta_pose, 0.0)
 
-    # ---- landmark back-substitution ----
+
+def _backsub(Vinv, Wlo, b_lm, kf_idx, delta_pose, lm_valid):
+    """Per-landmark back-substitution (shard-local)."""
     dp_obs = delta_pose[kf_idx]                                      # [L,O,6]
     rhs = b_lm - jnp.einsum("loij,loi->lj", Wlo, dp_obs)             # W^T dp
     delta_lm = jnp.einsum("lij,lj->li", Vinv, rhs)
-    delta_lm = jnp.where(
-        (p.lm_valid[:, None]) & jnp.isfinite(delta_lm), delta_lm, 0.0
+    return jnp.where(
+        (lm_valid[:, None]) & jnp.isfinite(delta_lm), delta_lm, 0.0
     )
+
+
+def _assemble_and_solve(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bool,
+                        chunk: int):
+    """One Gauss-Newton/LM linearization + Schur solve.
+
+    Returns (delta_pose [K,6], delta_lm [L,3])."""
+    Hpp, b_pose, S_red, b_red, Vinv, Wlo, b_lm, kf_idx = _linearize(
+        p, kf_Tcw, lm_pos, lam, obs_active, huber, chunk
+    )
+    delta_pose = _solve_poses(Hpp, b_pose, S_red, b_red, p.kf_fixed, lam)
+    delta_lm = _backsub(Vinv, Wlo, b_lm, kf_idx, delta_pose, p.lm_valid)
     return delta_pose, delta_lm
 
 

@@ -111,3 +111,47 @@ def render_world(cam, Tcw, pts, point_seed=0, bg=20.0, amp=180.0):
     np.add.at(img, (yi[ok], xi[ok]), a[ok])
     img = np.asarray(gaussian_blur(jnp.asarray(img), ksize=5, sigma=1.0))
     return np.clip(img, 0, 255).astype(np.float32), uv, vis
+
+
+def synth_frame_features(cam, Tcw, pts, descs, rng, F=512, noise=0.3,
+                         corrupt_bits=3, drop_frac=0.05):
+    """Build FrameFeatures as an ideal extractor would see them: project the
+    world, add pixel noise, fill stereo ur/depth, corrupt descriptors by a
+    few bits, and shuffle feature order. Returns (feats, gt_index [F] world
+    point index per feature slot or -1)."""
+    import jax.numpy as jnp
+    from hyslam_tpu.core.frame import empty_features
+    from hyslam_tpu.geometry import se3 as _se3
+    from hyslam_tpu.geometry.camera import project_stereo as _ps
+
+    uv, ur, z = _ps(cam, _se3.apply(jnp.asarray(Tcw), jnp.asarray(pts)))
+    uv = np.asarray(uv); ur = np.asarray(ur); z = np.asarray(z)
+    vis = (
+        (z > 0.3)
+        & (uv[:, 0] >= 2) & (uv[:, 0] < cam.width - 2)
+        & (uv[:, 1] >= 2) & (uv[:, 1] < cam.height - 2)
+        & (rng.uniform(size=len(z)) > drop_frac)
+    )
+    idx = np.nonzero(vis)[0]
+    rng.shuffle(idx)
+    idx = idx[:F]
+    n = len(idx)
+    uvn = uv[idx] + rng.normal(0, noise, (n, 2)).astype(np.float32)
+    urn = ur[idx] + rng.normal(0, noise, n).astype(np.float32)
+    disp = np.maximum(uvn[:, 0] - urn, 1e-3)
+    depth = cam.bf / disp
+    d = descs[idx].copy()
+    for _ in range(corrupt_bits):
+        w = rng.integers(0, 8, n)
+        b = rng.integers(0, 32, n).astype(np.uint32)
+        d[np.arange(n), w] ^= (np.uint32(1) << b)
+    f = empty_features(F)
+    gt = np.full(F, -1, np.int64)
+    gt[:n] = idx
+    return f._replace(
+        uv=f.uv.at[:n].set(jnp.asarray(uvn.astype(np.float32))),
+        ur=f.ur.at[:n].set(jnp.asarray(urn.astype(np.float32))),
+        depth=f.depth.at[:n].set(jnp.asarray(depth.astype(np.float32))),
+        desc=f.desc.at[:n].set(jnp.asarray(d)),
+        valid=f.valid.at[:n].set(True),
+    ), gt
