@@ -63,7 +63,7 @@ def distributed_bundle_adjustment(
         mesh=mesh,
         in_specs=(prob_spec,),
         out_specs=(rep, lm, lm, lm, rep),
-        check_rep=False,
+        check_vma=False,
     )
     def run(pl: BAProblem):
         obs_active = pl.obs.valid
