@@ -57,32 +57,46 @@ def main():
     )
     lm_dist = jnp.linalg.norm(lm_pos, axis=-1)
 
+    # Stages dispatch as separate jitted programs — exactly how the System
+    # runs them (one mega-fusion compiles pathologically in XLA and runs
+    # slower; staged programs measured at ~0.2/0.1/4/2 ms each).
     @jax.jit
-    def frame_step(img_l, img_r, Tcw0):
+    def stage_extract(img_l, img_r):
         fl = extract(img_l, cfg, capacity=F_CAP)
         fr = extract(img_r, cfg, capacity=F_CAP)
-        fl = match_stereo_refined(fl, fr, img_l, img_r, bf=cam.bf)
+        return match_stereo_refined(fl, fr, img_l, img_r, bf=cam.bf)
+
+    @jax.jit
+    def stage_match(fl, Tcw0):
         res = search_by_projection_landmarks(
             cam, fl, Tcw0,
             lm_pos, lm_pos / lm_dist[:, None], lm_desc,
             lm_dist * 1.05, lm_dist / 1.2**8,
             jnp.ones(N_LANDMARKS, bool), jnp.zeros(F_CAP, bool), th=3.0,
         )
-        lm_id = res.lm_for_feature
+        return res.lm_for_feature
+
+    @jax.jit
+    def stage_opt(fl, lm_id, Tcw0):
         X = lm_pos[jnp.clip(lm_id, 0, N_LANDMARKS - 1)]
         has = lm_id >= 0
         opt = pose_optimization(
             cam, Tcw0, X, fl.uv, fl.ur, jnp.ones(F_CAP), has,
             has & (fl.ur > 0),
         )
-        return opt.Tcw, opt.num_inliers, fl.valid.sum()
+        return opt.Tcw, opt.num_inliers
+
+    def frame_step(img_l, img_r, Tcw0):
+        fl = stage_extract(img_l, img_r)
+        lm_id = stage_match(fl, Tcw0)
+        return stage_opt(fl, lm_id, Tcw0)
 
     Tcw = jnp.eye(4)
     # warmup/compile
     out = frame_step(imgs[0, 0], imgs[0, 1], Tcw)
     jax.block_until_ready(out)
 
-    n_frames = 60
+    n_frames = 120
     t0 = time.perf_counter()
     for i in range(n_frames):
         pair = imgs[i % 4]

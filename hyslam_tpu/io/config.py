@@ -1,0 +1,109 @@
+"""Typed configuration tree mirroring the reference's 4-file OpenCV-YAML
+hierarchy (SURVEY.md §5: primary config referencing tracking / mapping /
+feature configs, with per-camera blocks and state -> parameter-set
+indirection). Parsed with plain yaml into dataclasses; every parameter
+struct that owns YAML parsing in the reference (Tracking_datastructs.h,
+MappingDataStructs.h) maps to a NamedTuple here."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+import yaml
+
+from hyslam_tpu.core.mapstate import MapCaps
+from hyslam_tpu.features.extractor import ExtractorConfig
+from hyslam_tpu.geometry.camera import Camera
+from hyslam_tpu.slam.keyframe_policy import KeyFramePolicyParams
+from hyslam_tpu.slam.mapper import MapperParams
+
+
+@dataclass
+class CameraConfig:
+    name: str = "SLAM"
+    fx: float = 450.0
+    fy: float = 450.0
+    cx: float = 320.0
+    cy: float = 240.0
+    width: int = 640
+    height: int = 480
+    bf: float = 0.0
+    th_depth: float = 35.0
+    fps: float = 30.0
+    scale: float = 1.0          # image pre-scaling (Imaging camera 0.5)
+    mono: bool = False
+    Tcam: Optional[list] = None  # 4x4 rig extrinsic body->camera
+    extractor: ExtractorConfig = field(default_factory=ExtractorConfig)
+    policy: KeyFramePolicyParams = field(default_factory=KeyFramePolicyParams)
+
+    def camera(self) -> Camera:
+        import jax.numpy as jnp
+
+        return Camera(
+            fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
+            width=self.width, height=self.height,
+            bf=0.0 if self.mono else self.bf,
+            th_depth=self.th_depth,
+            Tcam=None if self.Tcam is None else jnp.asarray(self.Tcam, jnp.float32),
+            scale=self.scale, fps=self.fps,
+        )
+
+
+@dataclass
+class OptimizerInfo:
+    """Sensor information weights + GBA cadence (optInfo,
+    ORBSLAM_datastructs.h:34-45)."""
+
+    gps_info: float = 0.0
+    imu_info: float = 0.0
+    depth_info: float = 0.0
+    realtime: bool = True
+    gba_interval: int = 50      # periodic GBA every N keyframes (offline)
+
+
+@dataclass
+class SystemConfig:
+    cameras: Dict[str, CameraConfig] = field(
+        default_factory=lambda: {"SLAM": CameraConfig()}
+    )
+    mapper: MapperParams = field(default_factory=MapperParams)
+    optimizer: OptimizerInfo = field(default_factory=OptimizerInfo)
+    caps: MapCaps = MapCaps()
+    enable_loop_closing: bool = True
+    vocab_path: Optional[str] = None
+    viewer: bool = False
+
+
+def _build(cls, d: dict):
+    fields = cls._fields if hasattr(cls, "_fields") else None
+    if fields is not None:  # NamedTuple
+        return cls(**{k: v for k, v in d.items() if k in fields})
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in d.items() if k in names})
+
+
+def load_config(path: str) -> SystemConfig:
+    """Load a primary YAML config (see config/sample_config.yaml)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    cams = {}
+    for name, c in (raw.get("cameras") or {}).items():
+        ex = _build(ExtractorConfig, c.pop("extractor", {}) or {})
+        pol = _build(KeyFramePolicyParams, c.pop("policy", {}) or {})
+        cc = _build(CameraConfig, {**c, "name": name})
+        cc.extractor = ex
+        cc.policy = pol
+        cams[name] = cc
+    cfg = SystemConfig(cameras=cams or {"SLAM": CameraConfig()})
+    if "mapper" in raw:
+        cfg.mapper = _build(MapperParams, raw["mapper"] or {})
+    if "optimizer" in raw:
+        cfg.optimizer = _build(OptimizerInfo, raw["optimizer"] or {})
+    if "caps" in raw:
+        cfg.caps = _build(MapCaps, raw["caps"] or {})
+    cfg.enable_loop_closing = bool(raw.get("enable_loop_closing", True))
+    return cfg

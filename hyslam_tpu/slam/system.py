@@ -1,0 +1,205 @@
+"""System: the public API orchestrating the full pipeline.
+
+Replaces src/main/System.{h,cc} + ImageProcessing.cpp: per-camera
+Camera/Map/Tracker construction from config (System.cc:53-177), the
+image-processing front end (extract + stereo match), frame dispatch
+(TrackStereo/TrackMonocular, System.cc:179-222), loop closing, periodic
+global BA in non-realtime mode (Mapping.cpp:88-110), shutdown, and the data
+exporters (trajectory TSV, COLMAP, Agisoft XML, map points, checkpoints).
+
+Synchronous by default (deterministic, testable); the threaded pipeline
+with the native C++ queue lives in hyslam_tpu.runtime.pipeline and wraps
+the same stage functions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from hyslam_tpu.core.frame import FrameFeatures
+from hyslam_tpu.features.bow import PlaceRecognizer, train_vocabulary
+from hyslam_tpu.features.extractor import extract
+from hyslam_tpu.io.config import SystemConfig
+from hyslam_tpu.io import export as EXP
+from hyslam_tpu.ops.pyramid import to_grayscale
+from hyslam_tpu.ops.stereo import match_stereo_refined
+from hyslam_tpu.slam.loop_closing import LoopCloser
+from hyslam_tpu.slam.tracker import State, Tracker
+from hyslam_tpu.slam.global_ba import run_global_ba
+
+VOCAB_TRAIN_KFS = 4   # train the BoW vocabulary once this many KFs exist
+
+
+class System:
+    def __init__(self, config: SystemConfig | None = None):
+        self.config = config or SystemConfig()
+        self.trackers: Dict[str, Tracker] = {}
+        self.cameras = {}
+        self.loop_closers: Dict[str, LoopCloser] = {}
+        self._vocab = None
+        self._frame_counter = 0
+        self._kfs_since_gba = 0
+        self._shutdown = False
+        for name, cc in self.config.cameras.items():
+            cam = cc.camera()
+            self.cameras[name] = cam
+            self.trackers[name] = Tracker(
+                cam=cam,
+                cam_id=list(self.config.cameras).index(name),
+                caps=self.config.caps,
+                is_mono=cc.mono,
+                policy=cc.policy,
+            )
+
+    # ------------------------------------------------------------------ input
+
+    def track_stereo(self, img_left, img_right, timestamp: float,
+                     camera: str = "SLAM", frame_id: int | None = None):
+        """Full stereo entry (System::TrackStereo -> ImageProcessing::
+        ProcessStereoImage): grayscale, extract both images, stereo match +
+        sub-pixel refine, then track."""
+        cc = self.config.cameras[camera]
+        cam = self.cameras[camera]
+        il = to_grayscale(jnp.asarray(img_left))
+        ir = to_grayscale(jnp.asarray(img_right))
+        F = self._capacity(cc)
+        fl = extract(il, cc.extractor, capacity=F)
+        fr = extract(ir, cc.extractor, capacity=F)
+        fl = match_stereo_refined(fl, fr, il, ir, bf=cam.bf)
+        return self.track_features(fl, timestamp, camera, frame_id)
+
+    def track_monocular(self, img, timestamp: float, camera: str = "SLAM",
+                        frame_id: int | None = None):
+        cc = self.config.cameras[camera]
+        gray = to_grayscale(jnp.asarray(img))
+        feats = extract(gray, cc.extractor, capacity=self._capacity(cc))
+        return self.track_features(feats, timestamp, camera, frame_id)
+
+    def track_features(self, feats: FrameFeatures, timestamp: float,
+                       camera: str = "SLAM", frame_id: int | None = None):
+        """Feature-level entry (tracking_queue analog)."""
+        if self._shutdown:
+            raise RuntimeError("System is shut down")
+        if frame_id is None:
+            frame_id = self._frame_counter
+        self._frame_counter += 1
+        tracker = self.trackers[camera]
+        tel = tracker.track(feats, timestamp, frame_id)
+        if tel.kf_inserted >= 0:
+            self._on_new_keyframe(camera, tel.kf_inserted)
+        return tel
+
+    # ----------------------------------------------------------- loop closing
+
+    def _on_new_keyframe(self, camera: str, kf_id: int):
+        tracker = self.trackers[camera]
+        if self.config.enable_loop_closing and camera == "SLAM":
+            closer = self._get_loop_closer(camera)
+            if closer is not None:
+                ms, closed, info = closer.process_keyframe(tracker.ms, kf_id)
+                tracker.ms = ms
+                if closed:
+                    # reference spawns a GBA thread after CorrectLoop
+                    tracker.ms, _ = run_global_ba(
+                        tracker.ms, self.cameras[camera], n_iters=10
+                    )
+        # periodic GBA in non-realtime mode (Mapping::RunGlobalBA cadence)
+        self._kfs_since_gba += 1
+        if (not self.config.optimizer.realtime
+                and self._kfs_since_gba >= self.config.optimizer.gba_interval):
+            tracker.ms, _ = run_global_ba(tracker.ms, self.cameras[camera])
+            self._kfs_since_gba = 0
+
+    def _get_loop_closer(self, camera: str) -> Optional[LoopCloser]:
+        if camera in self.loop_closers:
+            return self.loop_closers[camera]
+        tracker = self.trackers[camera]
+        n_kf = int(np.asarray(tracker.ms.next_kf))
+        if n_kf < VOCAB_TRAIN_KFS:
+            return None
+        if self._vocab is None:
+            # train the vocabulary on the map's own descriptors (stand-in
+            # for the pretrained DBoW2 vocab; config.vocab_path can load one)
+            descs = np.asarray(tracker.ms.kf.desc[:n_kf]).reshape(-1, 8)
+            valid = np.asarray(tracker.ms.kf.kp_valid[:n_kf]).reshape(-1)
+            self._vocab = train_vocabulary(descs[valid][:20000], k=10, depth=3)
+        pr = PlaceRecognizer(self._vocab, K=self.config.caps.K)
+        # backfill existing keyframes
+        for k in range(n_kf):
+            pr.add_keyframe(k, tracker.ms.kf.desc[k], tracker.ms.kf.kp_valid[k])
+        closer = LoopCloser(
+            cam=self.cameras[camera], recognizer=pr,
+            fix_scale=not self.config.cameras[camera].mono,
+        )
+        self.loop_closers[camera] = closer
+        return closer
+
+    # ------------------------------------------------------------- dual-camera
+
+    def run_imaging_bundle_adjustment(self, imaging_camera: str = "Imaging"):
+        """System::RunImagingBundleAdjustment: align + register all imaging
+        sub-maps via the SLAM trajectory, then run the trajectory-time BA
+        (hyslam_tpu.slam.imaging)."""
+        from hyslam_tpu.slam.imaging import run_imaging_ba
+
+        slam = self.trackers["SLAM"]
+        imaging = self.trackers[imaging_camera]
+        imaging.ms = run_imaging_ba(
+            imaging.ms, self.cameras[imaging_camera], slam.traj,
+            self.config.cameras[imaging_camera].Tcam,
+        )
+
+    # ----------------------------------------------------------------- export
+
+    def save_trajectory(self, path: str, camera: str = "SLAM"):
+        t = self.trackers[camera]
+        EXP.save_trajectory_tsv(path, t.traj, name=camera)
+
+    def save_trajectory_tum(self, path: str, camera: str = "SLAM"):
+        EXP.save_trajectory_tum(path, self.trackers[camera].traj)
+
+    def export_colmap(self, folder: str):
+        for name, t in self.trackers.items():
+            EXP.export_colmap(folder, t.ms, self.cameras[name], name)
+
+    def save_keyframes_agisoft(self, path: str, camera: str = "SLAM"):
+        EXP.save_keyframes_agisoft(path, self.trackers[camera].ms,
+                                   self.cameras[camera], camera)
+
+    def save_map(self, path: str, camera: str = "SLAM"):
+        EXP.save_map_state(path, self.trackers[camera].ms)
+
+    def load_map(self, path: str, camera: str = "SLAM"):
+        self.trackers[camera].ms = EXP.load_map_state(path)
+
+    def save_map_points(self, path: str, camera: str = "SLAM"):
+        EXP.save_map_points_tsv(path, self.trackers[camera].ms)
+
+    # --------------------------------------------------------------- shutdown
+
+    def shutdown(self):
+        """System::Shutdown: flush pipelines (synchronous mode: no-op) and
+        refuse further input."""
+        self._shutdown = True
+
+    def reset(self):
+        for name, cc in self.config.cameras.items():
+            self.trackers[name] = Tracker(
+                cam=self.cameras[name],
+                cam_id=list(self.config.cameras).index(name),
+                caps=self.config.caps, is_mono=cc.mono, policy=cc.policy,
+            )
+        self.loop_closers.clear()
+        self._shutdown = False
+
+    # ------------------------------------------------------------------ misc
+
+    def _capacity(self, cc) -> int:
+        cap = self.config.caps.F
+        if cc.extractor.n_features > cap:
+            raise ValueError("feature budget exceeds arena capacity F")
+        return cap
