@@ -27,7 +27,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from hyslam_tpu.core.frame import empty_features
-    from hyslam_tpu.features.extractor import ExtractorConfig, extract
+    from hyslam_tpu.features.extractor import ExtractorConfig
+    from hyslam_tpu.features.atlas import extract_atlas as extract
     from hyslam_tpu.features.matcher import search_by_projection_landmarks
     from hyslam_tpu.ops.stereo import match_stereo_refined
     from hyslam_tpu.geometry.camera import Camera

@@ -144,13 +144,17 @@ def search_by_projection_landmarks(
     fmask = frame.valid[None, :] & ~already_matched[None, :]
     ok_qf = q_ok[:, None] & within & lvl_ok & fmask
 
+    # best + second-best via two argmin passes (cheaper XLA lowering than
+    # top_k on a [Q, F] int matrix)
     d = jnp.where(ok_qf, hamming_matrix(lm_desc, frame.desc), BIG)
-    top2, top2i = jax.lax.top_k(-d, 2)
-    best_d = -top2[:, 0]
-    second_d = -top2[:, 1]
-    best_i = top2i[:, 0]
+    best_i = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best_d = jnp.take_along_axis(d, best_i[:, None], 1)[:, 0]
+    Q_ = d.shape[0]
+    d2 = d.at[jnp.arange(Q_), best_i].set(BIG)
+    second_i = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    second_d = jnp.take_along_axis(d2, second_i[:, None], 1)[:, 0]
     best_lv = frame.level[best_i]
-    second_lv = frame.level[top2i[:, 1]]
+    second_lv = frame.level[second_i]
     ratio_ok = (best_lv != second_lv) | (
         best_d.astype(jnp.float32) <= ratio * second_d.astype(jnp.float32)
     )
@@ -242,10 +246,10 @@ def match_descriptors(
     Returns ([A] index into B or -1, count)."""
     ok_ab = valid_a[:, None] & valid_b[None, :]
     d = jnp.where(ok_ab, hamming_matrix(desc_a, desc_b), BIG)
-    top2, top2i = jax.lax.top_k(-d, 2)
-    best_d = -top2[:, 0]
-    second_d = -top2[:, 1]
-    best_i = top2i[:, 0]
+    best_i = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best_d = jnp.take_along_axis(d, best_i[:, None], 1)[:, 0]
+    d2 = d.at[jnp.arange(d.shape[0]), best_i].set(BIG)
+    second_d = jnp.min(d2, axis=1)
     ok = valid_a & (best_d <= max_dist) & (
         best_d.astype(jnp.float32) <= ratio * second_d.astype(jnp.float32)
     )

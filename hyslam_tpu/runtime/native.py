@@ -51,6 +51,7 @@ def load_library() -> ctypes.CDLL:
         lib.hq_close.argtypes = [ctypes.c_void_p]
         lib.hq_destroy.argtypes = [ctypes.c_void_p]
         lib.hs_create.restype = ctypes.c_void_p
+        lib.hs_destroy.argtypes = [ctypes.c_void_p]
         for f in ("stop_requested", "stopped", "release_requested",
                   "finish_requested", "finished", "interrupt_requested",
                   "accepting_input", "queue_length"):

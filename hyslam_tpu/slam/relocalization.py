@@ -1,43 +1,43 @@
 """Relocalization: recover tracking after loss.
 
 Replaces TrackPlaceRecognition (src/slam/tracking/TrackPlaceRecognition.cpp):
-the reference retrieves candidate keyframes via the DBoW2 inverted index,
-runs EPnP-RANSAC per candidate, then staged re-matching to >= 50 inliers.
-
-Current implementation scores candidates by global descriptor-set similarity
-(dense Hamming — the BoW index is a CPU-pruning structure; at arena scale the
-dense path is faster on TPU), then per-candidate: descriptor match against
-the keyframe's landmarks -> pose optimization seeded from the candidate's
-pose (upgraded to batched EPnP-RANSAC by hyslam_tpu.estimators.pnp when
-the candidate pose is stale)."""
+candidate keyframes from place-recognition scoring, per-candidate descriptor
+matching against the keyframe's landmarks (>= 15), PnP-RANSAC + pose-only
+LM refinement, then local-map re-matching to >= 50 inliers."""
 
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hyslam_tpu.core import mapstate as M
+from hyslam_tpu.core.frame import level_inv_sigma2
 from hyslam_tpu.core.mapstate import MapState, visible_scope
+from hyslam_tpu.estimators.pnp import pnp_ransac_refined
 from hyslam_tpu.features.matcher import match_descriptors
 from hyslam_tpu.geometry.camera import Camera
-from hyslam_tpu.slam.strategies import track_reference_keyframe, track_local_map
+from hyslam_tpu.slam.strategies import track_local_map
 
-MIN_RELOC_INLIERS = 50  # reference's final acceptance threshold
+MIN_RELOC_INLIERS = 50   # final acceptance (TrackPlaceRecognition)
+MIN_BOW_MATCHES = 15
+MIN_PNP_INLIERS = 10
 
 
-def rank_candidates(frame_desc, frame_valid, ms: MapState, n_candidates=5):
-    """Rank keyframes by fraction of frame descriptors with a close match
-    in the KF (place-recognition scoring stand-in; see features/bow.py for
-    the BoW scorer used once vocabularies are trained)."""
+def rank_candidates(frame_desc, frame_valid, ms: MapState, n_candidates=5,
+                    recognizer=None):
+    """Candidate keyframes: via the BoW PlaceRecognizer when available,
+    else dense descriptor-set similarity (equivalent criteria)."""
+    if recognizer is not None:
+        covis = np.asarray(ms.covis)
+        return recognizer.detect_relocalization_candidates(
+            frame_desc, frame_valid, covis, n_max=n_candidates)
     from hyslam_tpu.ops.hamming import hamming_matrix
 
     kf_ok, _ = visible_scope(ms)
-    K = ms.K
-    scores = np.zeros(K, np.float32)
-    d_frame = frame_desc
-    kf_ids = np.nonzero(np.asarray(kf_ok))[0]
-    for k in kf_ids:
-        d = hamming_matrix(d_frame, ms.kf.desc[k])
+    scores = np.zeros(ms.K, np.float32)
+    for k in np.nonzero(np.asarray(kf_ok))[0]:
+        d = hamming_matrix(frame_desc, ms.kf.desc[k])
         dm = jnp.where(
             frame_valid[:, None] & ms.kf.kp_valid[k][None, :], d, 1 << 16
         )
@@ -47,16 +47,31 @@ def rank_candidates(frame_desc, frame_valid, ms: MapState, n_candidates=5):
     return [int(k) for k in order[:n_candidates] if scores[k] > 0.05]
 
 
-def try_relocalize(cam: Camera, feats, ms: MapState):
+def try_relocalize(cam: Camera, feats, ms: MapState, recognizer=None):
     """Returns (ok, Tcw, lm_id, n_inliers)."""
-    cands = rank_candidates(feats.desc, feats.valid, ms)
+    cands = rank_candidates(feats.desc, feats.valid, ms, recognizer=recognizer)
+    F = ms.F
     for k in cands:
-        res = track_reference_keyframe(
-            cam, feats, ms.kf.Tcw[k], ms, k, min_inliers=15
+        kf_lm = M.resolve_landmarks(ms, ms.kf.lm_id[k])
+        idx, n = match_descriptors(
+            feats.desc, feats.valid, feats.angle,
+            ms.kf.desc[k], ms.kf.kp_valid[k] & (kf_lm >= 0), ms.kf.angle[k],
+            max_dist=50, ratio=0.75,
         )
-        if not bool(res.ok):
+        if int(n) < MIN_BOW_MATCHES:
             continue
-        lres = track_local_map(cam, feats, res.Tcw, res.lm_id, ms)
+        lm = jnp.where(idx >= 0, kf_lm[jnp.clip(idx, 0, F - 1)], -1)
+        pair_ok = lm >= 0
+        X = ms.lm.pos[jnp.clip(lm, 0, ms.L - 1)]
+        inv_s2 = level_inv_sigma2()[jnp.clip(feats.level, 0, 7)]
+        T, inl, n_pnp = pnp_ransac_refined(
+            cam, X, feats.uv, inv_s2, pair_ok, jax.random.PRNGKey(k),
+        )
+        if int(n_pnp) < MIN_PNP_INLIERS:
+            continue
+        lm_init = jnp.where(inl, lm, -1)
+        lres = track_local_map(cam, feats, T, lm_init, ms)
         if int(lres.track.n_inliers) >= MIN_RELOC_INLIERS:
-            return True, lres.track.Tcw, lres.track.lm_id, int(lres.track.n_inliers)
+            return (True, lres.track.Tcw, lres.track.lm_id,
+                    int(lres.track.n_inliers))
     return False, None, None, 0

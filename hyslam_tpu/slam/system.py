@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from hyslam_tpu.core.frame import FrameFeatures
 from hyslam_tpu.features.bow import PlaceRecognizer, train_vocabulary
-from hyslam_tpu.features.extractor import extract
+from hyslam_tpu.features.atlas import extract_atlas as extract
 from hyslam_tpu.io.config import SystemConfig
 from hyslam_tpu.io import export as EXP
 from hyslam_tpu.ops.pyramid import to_grayscale
