@@ -59,6 +59,8 @@ class OptimizerInfo:
     gps_info: float = 0.0
     imu_info: float = 0.0
     depth_info: float = 0.0
+    tiepoint_info: float = 1.0  # Info_submap_tiepoint (warned-low threshold
+                                # 0.1, BundleAdjustment.cc:192-194)
     realtime: bool = True
     gba_interval: int = 50      # periodic GBA every N keyframes (offline)
 
@@ -74,6 +76,9 @@ class SystemConfig:
     enable_loop_closing: bool = True
     vocab_path: Optional[str] = None
     viewer: bool = False
+    run_data_dir: Optional[str] = None  # enables TSV telemetry logs
+                                        # (./run_data in the reference,
+                                        # Tracking.cpp:51-55)
 
 
 def _build(cls, d: dict):
@@ -106,4 +111,6 @@ def load_config(path: str) -> SystemConfig:
     if "caps" in raw:
         cfg.caps = _build(MapCaps, raw["caps"] or {})
     cfg.enable_loop_closing = bool(raw.get("enable_loop_closing", True))
+    cfg.vocab_path = raw.get("vocab_path")
+    cfg.run_data_dir = raw.get("run_data_dir")
     return cfg

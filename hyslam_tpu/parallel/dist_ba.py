@@ -31,6 +31,7 @@ from hyslam_tpu.solver.ba import (
     _robust_cost,
     _solve_poses,
 )
+from hyslam_tpu.solver.priors import PosePriors, linearize_priors, prior_cost
 
 
 def distributed_bundle_adjustment(
@@ -56,6 +57,8 @@ def distributed_bundle_adjustment(
     prob_spec = BAProblem(
         kf_Tcw=rep, kf_fixed=rep, cams=cam_spec, lm_pos=lm, lm_valid=lm,
         obs=obs_spec,
+        priors=None if p.priors is None
+        else PosePriors(*([rep] * len(p.priors))),
     )
 
     @partial(
@@ -67,10 +70,17 @@ def distributed_bundle_adjustment(
     )
     def run(pl: BAProblem):
         obs_active = pl.obs.valid
+        # priors are pose-only and replicated: keep them out of the
+        # shard-local cost/linearization (they would be multiplied by the
+        # shard count under psum) and add them once after the reduction
+        pl_noprior = pl._replace(priors=None)
 
         def cost_of(kf_Tcw, lm_pos):
-            local = _robust_cost(pl, kf_Tcw, lm_pos, huber)
-            return jax.lax.psum(local, "lm")
+            local = _robust_cost(pl_noprior, kf_Tcw, lm_pos, huber)
+            total = jax.lax.psum(local, "lm")
+            if pl.priors is not None:
+                total = total + prior_cost(kf_Tcw, pl.priors)
+            return total
 
         def step(state, _):
             kf_Tcw, lm_pos, lam, cost = state
@@ -83,6 +93,11 @@ def distributed_bundle_adjustment(
             b_pose = jax.lax.psum(b_pose, "lm")
             S_red = jax.lax.psum(S_red, "lm")
             b_red = jax.lax.psum(b_red, "lm")
+            if pl.priors is not None:
+                Hd_pr, Hoff_pr, b_pr = linearize_priors(kf_Tcw, pl.priors)
+                Hpp = Hpp + Hd_pr
+                b_pose = b_pose + b_pr
+                S_red = S_red - Hoff_pr
             delta_pose = _solve_poses(Hpp, b_pose, S_red, b_red, pl.kf_fixed, lam)
             delta_lm = _backsub(Vinv, Wlo, b_lm, kf_idx, delta_pose, pl.lm_valid)
 

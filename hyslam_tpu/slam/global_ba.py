@@ -43,9 +43,15 @@ def build_global_problem(ms: MapState, cam: Camera) -> BAProblem:
         cx=jnp.full((K,), cam.cx), cy=jnp.full((K,), cam.cy),
         bf=jnp.full((K,), cam.bf),
     )
+    # fix only the root-map origin (the reference GBA fixes KF0 alone,
+    # LoopClosing.cc:681-799 / GlobalBundleAdjustment.cc); submap origins
+    # stay free — they are constrained by reprojection + the tiepoint
+    # priors (SetSubMapOriginEdges)
+    slot = jnp.arange(K)
+    first_origin = jnp.min(jnp.where(ms.kf.origin & kf_ok, slot, K))
     return BAProblem(
         kf_Tcw=ms.kf.Tcw,
-        kf_fixed=~kf_ok | ms.kf.origin,   # origin fixed (GBA fixes KF0)
+        kf_fixed=~kf_ok | (slot == first_origin),
         cams=cams,
         lm_pos=ms.lm.pos,
         lm_valid=lm_ok,
@@ -61,10 +67,18 @@ def build_global_problem(ms: MapState, cam: Camera) -> BAProblem:
 
 
 def run_global_ba(ms: MapState, cam: Camera, n_iters: int = 20,
-                  chunk: int = 512, mesh=None):
+                  chunk: int = 512, mesh=None, sensors=None, opt_info=None):
     """Optimize everything; returns (ms, final cost). With a mesh, runs the
-    landmark-sharded distributed solver (psum Schur reduction)."""
+    landmark-sharded distributed solver (psum Schur reduction).
+
+    sensors/opt_info enable the sensor-fusion + submap-tiepoint pose priors
+    (BundleAdjustment.cc:60-201) via slam.sensor_fusion.build_pose_priors."""
     prob = build_global_problem(ms, cam)
+    from hyslam_tpu.slam.sensor_fusion import build_pose_priors
+
+    priors = build_pose_priors(ms, sensors=sensors, opt=opt_info)
+    if priors is not None:
+        prob = prob._replace(priors=priors)
     if mesh is None:
         res = bundle_adjustment(prob, n_iters=n_iters, huber=True, chunk=chunk)
     else:

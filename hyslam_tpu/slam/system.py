@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from hyslam_tpu.core.frame import FrameFeatures
 from hyslam_tpu.features.bow import PlaceRecognizer, train_vocabulary
-from hyslam_tpu.features.atlas import extract_atlas as extract
+from hyslam_tpu.features.factory import make_family
 from hyslam_tpu.io.config import SystemConfig
 from hyslam_tpu.io import export as EXP
 from hyslam_tpu.ops.pyramid import to_grayscale
@@ -44,9 +44,24 @@ class System:
         self._frame_counter = 0
         self._kfs_since_gba = 0
         self._shutdown = False
+        self._tracking_log = None
+        self._mapping_log = None
+        self.timer = None
+        if self.config.run_data_dir:
+            from hyslam_tpu.utils.telemetry import (
+                MappingLog, StageTimer, TrackingLog,
+            )
+
+            d = self.config.run_data_dir
+            self._tracking_log = TrackingLog(os.path.join(d, "tracking_data.txt"))
+            self._mapping_log = MappingLog(
+                os.path.join(d, "localmapping_data.txt"))
+            self.timer = StageTimer()
+        self._families = {}   # per-camera feature family (FeatureFactory)
         for name, cc in self.config.cameras.items():
             cam = cc.camera()
             self.cameras[name] = cam
+            self._families[name] = make_family(cc.extractor)
             self.trackers[name] = Tracker(
                 cam=cam,
                 cam_id=list(self.config.cameras).index(name),
@@ -58,29 +73,36 @@ class System:
     # ------------------------------------------------------------------ input
 
     def track_stereo(self, img_left, img_right, timestamp: float,
-                     camera: str = "SLAM", frame_id: int | None = None):
+                     camera: str = "SLAM", frame_id: int | None = None,
+                     sensor_data=None):
         """Full stereo entry (System::TrackStereo -> ImageProcessing::
         ProcessStereoImage): grayscale, extract both images, stereo match +
-        sub-pixel refine, then track."""
+        sub-pixel refine, then track. sensor_data (SensorData) attaches
+        GPS/IMU/depth readings to any keyframe made from this frame."""
         cc = self.config.cameras[camera]
         cam = self.cameras[camera]
         il = to_grayscale(jnp.asarray(img_left))
         ir = to_grayscale(jnp.asarray(img_right))
         F = self._capacity(cc)
-        fl = extract(il, cc.extractor, capacity=F)
-        fr = extract(ir, cc.extractor, capacity=F)
+        extract = self._families[camera].extract
+        fl = extract(il, capacity=F)
+        fr = extract(ir, capacity=F)
         fl = match_stereo_refined(fl, fr, il, ir, bf=cam.bf)
-        return self.track_features(fl, timestamp, camera, frame_id)
+        return self.track_features(fl, timestamp, camera, frame_id,
+                                   sensor_data)
 
     def track_monocular(self, img, timestamp: float, camera: str = "SLAM",
-                        frame_id: int | None = None):
+                        frame_id: int | None = None, sensor_data=None):
         cc = self.config.cameras[camera]
         gray = to_grayscale(jnp.asarray(img))
-        feats = extract(gray, cc.extractor, capacity=self._capacity(cc))
-        return self.track_features(feats, timestamp, camera, frame_id)
+        feats = self._families[camera].extract(
+            gray, capacity=self._capacity(cc))
+        return self.track_features(feats, timestamp, camera, frame_id,
+                                   sensor_data)
 
     def track_features(self, feats: FrameFeatures, timestamp: float,
-                       camera: str = "SLAM", frame_id: int | None = None):
+                       camera: str = "SLAM", frame_id: int | None = None,
+                       sensor_data=None):
         """Feature-level entry (tracking_queue analog)."""
         if self._shutdown:
             raise RuntimeError("System is shut down")
@@ -88,8 +110,20 @@ class System:
             frame_id = self._frame_counter
         self._frame_counter += 1
         tracker = self.trackers[camera]
-        tel = tracker.track(feats, timestamp, frame_id)
+        tel = tracker.track(feats, timestamp, frame_id,
+                            sensor_data=sensor_data)
+        if self._tracking_log is not None:
+            import numpy as _np
+
+            self._tracking_log.log(
+                camera, tel, timestamp,
+                n_kfs=int(_np.asarray(tracker.ms.next_kf)),
+                n_landmarks=int(_np.asarray(tracker.ms.next_lm)),
+            )
         if tel.kf_inserted >= 0:
+            if self._mapping_log is not None and tel.mapper_stats:
+                self._mapping_log.log(camera, tel.kf_inserted,
+                                      tel.mapper_stats)
             self._on_new_keyframe(camera, tel.kf_inserted)
         return tel
 
@@ -105,13 +139,18 @@ class System:
                 if closed:
                     # reference spawns a GBA thread after CorrectLoop
                     tracker.ms, _ = run_global_ba(
-                        tracker.ms, self.cameras[camera], n_iters=10
+                        tracker.ms, self.cameras[camera], n_iters=10,
+                        sensors=tracker.sensors,
+                        opt_info=self.config.optimizer,
                     )
         # periodic GBA in non-realtime mode (Mapping::RunGlobalBA cadence)
         self._kfs_since_gba += 1
         if (not self.config.optimizer.realtime
                 and self._kfs_since_gba >= self.config.optimizer.gba_interval):
-            tracker.ms, _ = run_global_ba(tracker.ms, self.cameras[camera])
+            tracker.ms, _ = run_global_ba(
+                tracker.ms, self.cameras[camera],
+                sensors=tracker.sensors, opt_info=self.config.optimizer,
+            )
             self._kfs_since_gba = 0
 
     def _get_loop_closer(self, camera: str) -> Optional[LoopCloser]:
@@ -182,9 +221,13 @@ class System:
     # --------------------------------------------------------------- shutdown
 
     def shutdown(self):
-        """System::Shutdown: flush pipelines (synchronous mode: no-op) and
-        refuse further input."""
+        """System::Shutdown: flush pipelines (synchronous mode: no-op),
+        close telemetry logs and refuse further input."""
         self._shutdown = True
+        if self._tracking_log is not None:
+            self._tracking_log.close()
+        if self._mapping_log is not None:
+            self._mapping_log.close()
 
     def reset(self):
         for name, cc in self.config.cameras.items():

@@ -71,6 +71,8 @@ class TrackerTelemetry:
     n_local: int = 0
     kf_inserted: int = -1
     n_seeded: int = 0
+    mapper_stats: dict = field(default_factory=dict)  # per-KF job counters
+                              # (localmapping_data.txt row, Mapping.cpp:46-48)
 
 
 @dataclass
@@ -84,7 +86,11 @@ class Tracker:
                               # (TrackingStateNormal.cpp:78-82)
 
     def __post_init__(self):
+        from hyslam_tpu.core.sensordata import empty_sensor_arena
+
         self.ms: MapState = empty_map_state(self.caps)
+        self.sensors = empty_sensor_arena(self.caps.K)
+        self._pending_sensor = None   # SensorData for the current frame
         self.traj = TJ.empty_trajectory()
         self.mapper = Mapper(self.cam, is_mono=self.is_mono)
         self.state = State.INITIALIZE
@@ -102,10 +108,15 @@ class Tracker:
 
     # -- public -------------------------------------------------------------
 
-    def track(self, feats: FrameFeatures, timestamp: float, frame_id: int):
-        """Process one frame; returns TrackerTelemetry."""
+    def track(self, feats: FrameFeatures, timestamp: float, frame_id: int,
+              sensor_data=None):
+        """Process one frame; returns TrackerTelemetry. sensor_data
+        (core.sensordata.SensorData) is attached to the keyframe if one is
+        inserted for this frame (SensorData rides Frame->KeyFrame in the
+        reference, System.cc:179-222)."""
         tel = TrackerTelemetry(frame_id=frame_id, state=self.state.name)
         self.n_frames += 1
+        self._pending_sensor = sensor_data
         if self.state == State.NULL:
             pass
         elif self.state == State.INITIALIZE:
@@ -150,10 +161,20 @@ class Tracker:
                 return
             self.ms = ms
             if as_submap:
-                # register immediately with a tiepoint at the init pose
+                # register immediately with a tiepoint: measurement
+                # Tse3 = Tcw_origin @ Tcw_parent^-1 so that
+                # pose_this = Tse3 * pose_parent (Map.h:75,
+                # TrackingStateReInitialize.cpp:59)
+                if tie_kf >= 0:
+                    Tcw_child = np.asarray(self.ms.kf.Tcw[int(kf_id)])
+                    Tcw_par = np.asarray(self.ms.kf.Tcw[int(tie_kf)])
+                    tse3 = (Tcw_child @ np.linalg.inv(Tcw_par)).astype(
+                        np.float32)
+                else:
+                    tse3 = np.eye(4, dtype=np.float32)
                 self.ms = M.register_submap(
                     self.ms, submap,
-                    Tse3_parent=jnp.asarray(self.last_Tcw), tie_kf=tie_kf,
+                    Tse3_parent=jnp.asarray(tse3), tie_kf=tie_kf,
                 )
             tel.n_seeded = n
             self.last_Tcw = np.asarray(self.ms.kf.Tcw[kf_id]) if Tcw0 is None \
@@ -171,6 +192,11 @@ class Tracker:
         self.state = State.POSTINIT
         self.postinit_left = POSTINIT_FRAMES
         tel.kf_inserted = int(kf_id)
+        if self._pending_sensor is not None:
+            from hyslam_tpu.core.sensordata import set_sensor
+
+            self.sensors = set_sensor(self.sensors, int(kf_id),
+                                      self._pending_sensor)
 
     def _update_last_frame(self):
         """UpdateLastFrame (Tracking.cpp:249): re-derive the last frame's
@@ -267,7 +293,13 @@ class Tracker:
             ms, n_seeded = seed_close_landmarks(ms, kf_id, self.cam)
             tel.n_seeded = int(n_seeded)
         ms, stats = self.mapper.integrate_keyframe(ms, kf_id)
+        tel.mapper_stats = stats
         self.ms = ms
+        if self._pending_sensor is not None:
+            from hyslam_tpu.core.sensordata import set_sensor
+
+            self.sensors = set_sensor(self.sensors, kf_id,
+                                      self._pending_sensor)
         self.last_kf_frame_id = frame_id
         self.ref_kf = kf_id
         tel.kf_inserted = kf_id

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from hyslam_tpu.geometry import se3, so3
 from hyslam_tpu.solver import robust
+from hyslam_tpu.solver.priors import PosePriors, linearize_priors, prior_cost
 
 
 class CamArrays(NamedTuple):
@@ -74,6 +75,8 @@ class BAProblem(NamedTuple):
     lm_pos: jnp.ndarray      # [L, 3]
     lm_valid: jnp.ndarray    # [L] bool
     obs: BAObservations
+    priors: PosePriors | None = None  # sensor + tiepoint pose priors
+                             # (BundleAdjustment.cc:60-201)
 
 
 class BAResult(NamedTuple):
@@ -179,7 +182,10 @@ def _robust_cost(p: BAProblem, kf_Tcw, lm_pos, huber: bool):
     delta2 = jnp.where(p.obs.stereo, robust.CHI2_STEREO, robust.CHI2_MONO)
     cost = jnp.where(huber, robust.huber_rho(c2, delta2), c2)
     w_valid = (p.obs.valid & p.lm_valid[:, None] & (pc[..., 2] > 0.0)).astype(r.dtype)
-    return jnp.sum(cost * w_valid)
+    total = jnp.sum(cost * w_valid)
+    if p.priors is not None:
+        total = total + prior_cost(kf_Tcw, p.priors)
+    return total
 
 
 def _linearize(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bool,
@@ -313,6 +319,11 @@ def _assemble_and_solve(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bo
     Hpp, b_pose, S_red, b_red, Vinv, Wlo, b_lm, kf_idx = _linearize(
         p, kf_Tcw, lm_pos, lam, obs_active, huber, chunk
     )
+    if p.priors is not None:
+        Hd_pr, Hoff_pr, b_pr = linearize_priors(kf_Tcw, p.priors)
+        Hpp = Hpp + Hd_pr           # damped with the reprojection diagonal
+        b_pose = b_pose + b_pr
+        S_red = S_red - Hoff_pr     # S = diag(Hpp) - S_red
     delta_pose = _solve_poses(Hpp, b_pose, S_red, b_red, p.kf_fixed, lam)
     delta_lm = _backsub(Vinv, Wlo, b_lm, kf_idx, delta_pose, p.lm_valid)
     return delta_pose, delta_lm
