@@ -34,6 +34,8 @@ class ExtractorConfig(NamedTuple):
     fast_threshold: float = 7.0   # min threshold; strong corners rank higher
     cell_size: int = 32
     border: int = 19              # EDGE_THRESHOLD in the reference
+    family: str = "ORB"           # feature family (ORB | SURF),
+                                  # resolved by features.factory
 
 
 def level_budgets(cfg: ExtractorConfig) -> list[int]:
