@@ -397,7 +397,7 @@ def _gather_local_ba(ms: MapState, kf_id, cam: Camera,
             valid=obs_valid,
         ),
     )
-    return prob, kf_of_slot, slot_used & ~slot_fixed, lm_rows, lm_ok
+    return prob, kf_of_slot, slot_used, slot_used & ~slot_fixed, lm_rows, lm_ok
 
 
 @partial(jax.jit, static_argnames=())
@@ -411,13 +411,61 @@ def _scatter_ba_results(ms: MapState, kf_of_slot, slot_movable, lm_rows, lm_ok,
     return ms._replace(kf=ms.kf._replace(Tcw=Tcw), lm=ms.lm._replace(pos=pos))
 
 
-def local_bundle_adjustment(ms: MapState, kf_id: int, cam: Camera,
-                            max_local_kf: int = 32, max_lm: int = 4096):
-    """LocalBundleAdjustment::Run: two-phase robust BA over the covisibility
-    neighborhood; outlier observations are erased from the map afterwards."""
-    prob, kf_of_slot, slot_movable, lm_rows, lm_ok = _gather_local_ba(
-        ms, kf_id, cam, max_local_kf, max_lm
+def _slot_priors(ms: MapState, sensors, opt_info, kf_of_slot, slot_used):
+    """Remap full-arena PosePriors onto local-BA slots (the reference's
+    LocalBundleAdjustment also calls SetIMUEdges/SetDepthEdges/SetGPSEdges/
+    SetSubMapOriginEdges, LocalBundleAdjustment.cc:47-110)."""
+    import numpy as np
+
+    from hyslam_tpu.slam.sensor_fusion import build_pose_priors
+    from hyslam_tpu.solver.priors import empty_pose_priors
+
+    pr = build_pose_priors(ms, sensors, opt_info)
+    if pr is None:
+        return None
+    idx = np.asarray(kf_of_slot)
+    used = np.asarray(slot_used)
+    KL = len(idx)
+
+    out = empty_pose_priors(KL, E=pr.tie_a.shape[0])._replace(
+        gps_pos=pr.gps_pos[idx], gps_info=pr.gps_info[idx],
+        gps_valid=pr.gps_valid[idx] & jnp.asarray(used),
+        imu_quat=pr.imu_quat[idx], imu_info=pr.imu_info[idx],
+        imu_valid=pr.imu_valid[idx] & jnp.asarray(used),
+        depth=pr.depth[idx], depth_info=pr.depth_info[idx],
+        depth_valid=pr.depth_valid[idx] & jnp.asarray(used),
     )
+    # tiepoint edges survive only when both endpoints hold a slot
+    slot_of = np.full((ms.K,), -1, np.int32)
+    slot_of[idx[used]] = np.nonzero(used)[0]
+    ta = slot_of[np.clip(np.asarray(pr.tie_a), 0, ms.K - 1)]
+    tb = slot_of[np.clip(np.asarray(pr.tie_b), 0, ms.K - 1)]
+    tie_ok = np.asarray(pr.tie_valid) & (ta >= 0) & (tb >= 0)
+    out = out._replace(
+        tie_a=jnp.asarray(np.maximum(ta, 0)),
+        tie_b=jnp.asarray(np.maximum(tb, 0)),
+        tie_T=pr.tie_T, tie_info=pr.tie_info,
+        tie_valid=jnp.asarray(tie_ok),
+    )
+    any_active = bool(
+        np.asarray(out.gps_valid).any() or np.asarray(out.imu_valid).any()
+        or np.asarray(out.depth_valid).any() or tie_ok.any()
+    )
+    return out if any_active else None
+
+
+def local_bundle_adjustment(ms: MapState, kf_id: int, cam: Camera,
+                            max_local_kf: int = 32, max_lm: int = 4096,
+                            sensors=None, opt_info=None):
+    """LocalBundleAdjustment::Run: two-phase robust BA over the covisibility
+    neighborhood; outlier observations are erased from the map afterwards.
+    With sensors/opt_info, sensor + submap-tiepoint pose priors join the
+    problem exactly as in the global path."""
+    prob, kf_of_slot, slot_used, slot_movable, lm_rows, lm_ok = \
+        _gather_local_ba(ms, kf_id, cam, max_local_kf, max_lm)
+    priors = _slot_priors(ms, sensors, opt_info, kf_of_slot, slot_used)
+    if priors is not None:
+        prob = prob._replace(priors=priors)
     res = local_ba_two_phase(prob, chunk=256)
     ms = _scatter_ba_results(
         ms, kf_of_slot, slot_movable, lm_rows, lm_ok, res.kf_Tcw, res.lm_pos
@@ -501,7 +549,8 @@ class Mapper:
         self.kf_count = 0
 
     def integrate_keyframe(self, ms: MapState, kf_id: int,
-                           budget_level: int = 2, cull_kfs: bool = True):
+                           budget_level: int = 2, cull_kfs: bool = True,
+                           sensors=None, opt_info=None):
         stats = {}
         p = self.params
         # mandatory: bookkeeping refresh (ProcessNewKeyFrame equivalent: the
@@ -518,7 +567,8 @@ class Mapper:
             stats["fused"] = n_rep
             stats["fuse_added"] = n_add
         if budget_level >= 2 and self.kf_count > 2:
-            ms, cost = local_bundle_adjustment(ms, kf_id, self.cam)
+            ms, cost = local_bundle_adjustment(
+                ms, kf_id, self.cam, sensors=sensors, opt_info=opt_info)
             stats["ba_cost"] = cost
             if cull_kfs and not self.is_mono:
                 ms, n_cull = cull_keyframes(ms, kf_id, self.cam, p)

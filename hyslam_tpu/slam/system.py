@@ -68,6 +68,7 @@ class System:
                 caps=self.config.caps,
                 is_mono=cc.mono,
                 policy=cc.policy,
+                opt_info=self.config.optimizer,
             )
 
     # ------------------------------------------------------------------ input
@@ -160,9 +161,16 @@ class System:
         n_kf = int(np.asarray(tracker.ms.next_kf))
         if n_kf < VOCAB_TRAIN_KFS:
             return None
+        if self._vocab is None and self.config.vocab_path:
+            # pretrained vocabulary (npz from tools.vocabulary, or a DBoW2
+            # text file — System.cc:86 loads the DBoW2 binary voc)
+            from hyslam_tpu.features.vocab_io import load_dbow2_text, load_vocabulary
+
+            vp = self.config.vocab_path
+            self._vocab = (load_vocabulary(vp) if vp.endswith(".npz")
+                           else load_dbow2_text(vp))
         if self._vocab is None:
-            # train the vocabulary on the map's own descriptors (stand-in
-            # for the pretrained DBoW2 vocab; config.vocab_path can load one)
+            # otherwise train on the map's own descriptors
             descs = np.asarray(tracker.ms.kf.desc[:n_kf]).reshape(-1, 8)
             valid = np.asarray(tracker.ms.kf.kp_valid[:n_kf]).reshape(-1)
             self._vocab = train_vocabulary(descs[valid][:20000], k=10, depth=3)
@@ -235,6 +243,7 @@ class System:
                 cam=self.cameras[name],
                 cam_id=list(self.config.cameras).index(name),
                 caps=self.config.caps, is_mono=cc.mono, policy=cc.policy,
+                opt_info=self.config.optimizer,
             )
         self.loop_closers.clear()
         self._shutdown = False

@@ -84,6 +84,8 @@ class Tracker:
     policy: KeyFramePolicyParams = field(default_factory=KeyFramePolicyParams)
     reset_interval: int = 0   # forced-loss fault injection
                               # (TrackingStateNormal.cpp:78-82)
+    opt_info: object = None   # OptimizerInfo for sensor-prior weights in
+                              # local BA (optParams, Mapping.cpp)
 
     def __post_init__(self):
         from hyslam_tpu.core.sensordata import empty_sensor_arena
@@ -292,7 +294,8 @@ class Tracker:
         if not self.is_mono:
             ms, n_seeded = seed_close_landmarks(ms, kf_id, self.cam)
             tel.n_seeded = int(n_seeded)
-        ms, stats = self.mapper.integrate_keyframe(ms, kf_id)
+        ms, stats = self.mapper.integrate_keyframe(
+            ms, kf_id, sensors=self.sensors, opt_info=self.opt_info)
         tel.mapper_stats = stats
         self.ms = ms
         if self._pending_sensor is not None:

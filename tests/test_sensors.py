@@ -236,3 +236,84 @@ class TestSensorFusionBuilder:
 
         ms = empty_map_state(MapCaps(K=8, L=64, F=32, O=4))
         assert build_pose_priors(ms, None, OptimizerInfo()) is None
+
+
+class TestLocalBAPriors:
+    def test_local_ba_with_sensors_runs(self):
+        """Local BA accepts sensor priors and still converges (the
+        reference's LocalBundleAdjustment also sets sensor edges)."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from helpers import DEFAULT_CAM, make_world, synth_frame_features
+
+        from hyslam_tpu.core.mapstate import MapCaps
+        from hyslam_tpu.core.sensordata import SensorData
+        from hyslam_tpu.io.config import OptimizerInfo
+        from hyslam_tpu.slam.tracker import Tracker
+
+        rng = np.random.default_rng(0)
+        pts = make_world(rng, 800, extent=(10.0, 7.0, 40.0))
+        descs = rng.integers(0, 2**32, (800, 8), dtype=np.uint32)
+        tracker = Tracker(
+            cam=DEFAULT_CAM, caps=MapCaps(K=32, L=4096, F=256, O=8),
+            opt_info=OptimizerInfo(depth_info=5.0, imu_info=0.5),
+        )
+        T = np.eye(4, dtype=np.float32)
+        for i in range(8):
+            T2 = T.copy()
+            T2[2, 3] = -0.12 * i
+            feats, _ = synth_frame_features(DEFAULT_CAM, T2, pts, descs,
+                                            rng, F=256)
+            q = np.asarray(so3.quat_from_mat(jnp.asarray(T2[:3, :3])))
+            sd = SensorData(quat=tuple(q), quat_valid=True,
+                            depth=float(T2[2, 3]), depth_valid=True)
+            tel = tracker.track(feats, timestamp=0.1 * i, frame_id=i,
+                                sensor_data=sd)
+        assert tracker.state.name in ("NORMAL", "POSTINIT")
+        # sensors recorded and local BA (with priors) produced a cost
+        assert bool(np.asarray(tracker.sensors.depth_valid).any())
+        ba_costs = [t.mapper_stats.get("ba_cost") for t in tracker.telemetry
+                    if t.mapper_stats.get("ba_cost") is not None]
+        assert ba_costs and np.isfinite(ba_costs[-1])
+
+    def test_slot_priors_remap(self):
+        """Tie edges remap onto BA slots; dropped when an endpoint has no
+        slot."""
+        from hyslam_tpu.core.mapstate import MapCaps, empty_map_state
+        from hyslam_tpu.core import mapstate as M
+        from hyslam_tpu.core.frame import empty_features
+        from hyslam_tpu.slam.mapper import _slot_priors
+        from hyslam_tpu.io.config import OptimizerInfo
+
+        caps = MapCaps(K=16, L=64, F=32, O=4)
+        ms = empty_map_state(caps)
+        feats = empty_features(caps.F)
+        for k in range(4):
+            Tk = np.eye(4, dtype=np.float32)
+            Tk[2, 3] = -0.5 * k
+            ms, _ = M.add_keyframe(ms, feats, jnp.asarray(Tk), float(k), k,
+                                   0, jnp.full((caps.F,), -1, jnp.int32),
+                                   origin=(k == 0))
+        ms, sub = M.create_submap(ms)
+        Tk = np.eye(4, dtype=np.float32)
+        Tk[2, 3] = -2.0
+        ms, kf4 = M.add_keyframe(ms, feats, jnp.asarray(Tk), 4.0, 4, 0,
+                                 jnp.full((caps.F,), -1, jnp.int32),
+                                 origin=True)
+        tie_T = Tk @ np.linalg.inv(np.eye(4, dtype=np.float32))
+        ms = M.register_submap(ms, sub, Tse3_parent=jnp.asarray(tie_T),
+                               tie_kf=3)
+        # slots: kf 3 -> slot 0, kf 4 -> slot 1; others absent
+        kf_of_slot = jnp.asarray([3, 4, 0, 0], jnp.int32)
+        slot_used = jnp.asarray([True, True, False, False])
+        pr = _slot_priors(ms, None, OptimizerInfo(), kf_of_slot, slot_used)
+        assert pr is not None
+        tv = np.asarray(pr.tie_valid)
+        assert tv.sum() == 1
+        e = int(np.nonzero(tv)[0][0])
+        assert int(pr.tie_a[e]) == 0 and int(pr.tie_b[e]) == 1
+        # endpoint without slot -> edge dropped
+        pr2 = _slot_priors(ms, None, OptimizerInfo(),
+                           jnp.asarray([3, 2, 0, 0], jnp.int32),
+                           jnp.asarray([True, True, False, False]))
+        assert pr2 is None or not np.asarray(pr2.tie_valid).any()

@@ -1,0 +1,129 @@
+"""Offline tools: DBoW2 vocabulary conversion (bin_vocabulary analog) and
+point-cloud meshing (mesh_from_pointcloud.m analog)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tools.vocabulary import load_dbow2_text, load_vocabulary, save_vocabulary
+from tools.mesh_from_pointcloud import (
+    denoise, height_grid, load_points, main as mesh_main, write_ply,
+)
+
+
+def _write_dbow2_text(path, k=2, L=2, rng=None):
+    """Tiny complete k=2 L=2 tree: root + 2 internal + 4 leaves."""
+    rng = rng or np.random.default_rng(0)
+    lines = [f"{k} {L} 0 0"]
+    descs = {}
+    # nodes 1,2 parent 0 (internal); 3,4 parent 1; 5,6 parent 2 (leaves)
+    spec = [(1, 0, 0), (2, 0, 0), (3, 1, 1), (4, 1, 1), (5, 2, 1), (6, 2, 1)]
+    for node, parent, is_leaf in spec:
+        d = rng.integers(0, 256, 32)
+        descs[node] = d
+        w = 1.5 if is_leaf else 0.0
+        lines.append(
+            f"{parent} {is_leaf} " + " ".join(str(int(x)) for x in d)
+            + f" {w}"
+        )
+    path.write_text("\n".join(lines) + "\n")
+    return descs
+
+
+class TestVocabularyTool:
+    def test_load_text_structure(self, tmp_path):
+        p = tmp_path / "voc.txt"
+        _write_dbow2_text(p)
+        voc = load_dbow2_text(str(p))
+        assert voc.k == 2 and voc.depth == 2
+        assert voc.n_words == 4
+        ch = np.asarray(voc.children)
+        assert set(ch[0][ch[0] >= 0]) == {1, 2}
+        wid = np.asarray(voc.word_id)
+        assert (wid[[3, 4, 5, 6]] >= 0).all() and (wid[[0, 1, 2]] == -1).all()
+        np.testing.assert_allclose(np.asarray(voc.idf), 1.5)
+
+    def test_transform_and_roundtrip(self, tmp_path):
+        from hyslam_tpu.features.bow import bow_vector
+
+        p = tmp_path / "voc.txt"
+        descs = _write_dbow2_text(p)
+        voc = load_dbow2_text(str(p))
+        # a leaf's own descriptor lands exactly on that leaf's word
+        from hyslam_tpu.ops.hamming import pack_bits
+        bits = np.unpackbits(np.asarray([descs[5]], np.uint8), axis=-1,
+                             bitorder="little")
+        d5 = pack_bits(jnp.asarray(bits))
+        v, words = bow_vector(voc, jnp.tile(d5, (4, 1)),
+                              jnp.ones(4, bool))
+        wid5 = int(np.asarray(voc.word_id)[5])
+        assert (np.asarray(words) == wid5).all()
+        assert float(v[wid5]) > 0
+
+        # npz round trip
+        out = tmp_path / "voc.npz"
+        save_vocabulary(str(out), voc)
+        voc2 = load_vocabulary(str(out))
+        np.testing.assert_array_equal(np.asarray(voc.centers),
+                                      np.asarray(voc2.centers))
+        assert voc2.n_words == voc.n_words and voc2.depth == voc.depth
+
+    def test_cli(self, tmp_path, capsys):
+        from tools.vocabulary import main
+
+        p = tmp_path / "voc.txt"
+        _write_dbow2_text(p)
+        out = tmp_path / "voc.npz"
+        assert main([str(p), str(out)]) == 0
+        assert out.exists()
+
+
+class TestMeshTool:
+    def _cloud(self, n=800, seed=0):
+        rng = np.random.default_rng(seed)
+        x = rng.uniform(-5, 5, n)
+        y = rng.uniform(-5, 5, n)
+        z = 0.2 * np.sin(x) + 0.1 * y + rng.normal(0, 0.02, n)
+        return np.stack([x, y, z], -1)
+
+    def test_denoise_removes_outliers(self):
+        pts = self._cloud()
+        pts_out = np.concatenate([pts, [[100.0, 0, 0], [0, -80.0, 3]]])
+        clean = denoise(pts_out)
+        assert len(clean) <= len(pts) + 1
+        assert np.abs(clean).max() < 50
+
+    def test_height_grid_and_ply(self, tmp_path):
+        pts = self._cloud()
+        gx, gy, grid, ax = height_grid(pts, n=16, up=2)
+        assert grid.shape == (16, 16) and not np.isnan(grid).any()
+        # grid approximates the underlying surface
+        want = 0.2 * np.sin(gx[8]) + 0.1 * gy[8]
+        assert abs(grid[8, 8] - want) < 0.15
+        ply = tmp_path / "m.ply"
+        write_ply(str(ply), gx, gy, grid, ax)
+        txt = ply.read_text().split("\n")
+        assert txt[0] == "ply"
+        assert f"element vertex {16*16}" in "\n".join(txt[:8])
+        assert f"element face {2*15*15}" in "\n".join(txt[:8])
+
+    def test_cli_colmap_format(self, tmp_path):
+        pts = self._cloud()
+        pc = tmp_path / "points3D.txt"
+        with open(pc, "w") as f:
+            f.write("# COLMAP points3D\n")
+            for i, p in enumerate(pts):
+                f.write(f"{i} {p[0]} {p[1]} {p[2]} 200 200 200 0.5\n")
+        out = tmp_path / "mesh.ply"
+        assert mesh_main([str(pc), str(out), "--grid", "16"]) == 0
+        assert out.exists() and out.stat().st_size > 1000
+
+    def test_tsv_format(self, tmp_path):
+        pts = self._cloud(n=100)
+        tsv = tmp_path / "map_points.tsv"
+        with open(tsv, "w") as f:
+            f.write("id\tx\ty\tz\n")
+            for i, p in enumerate(pts):
+                f.write(f"{i}\t{p[0]}\t{p[1]}\t{p[2]}\n")
+        loaded = load_points(str(tsv))
+        np.testing.assert_allclose(loaded, pts, rtol=1e-5)
