@@ -187,6 +187,36 @@ class System:
 
     # ------------------------------------------------------------- dual-camera
 
+    def place_imaging_frame(self, timestamp: float,
+                            imaging_camera: str = "Imaging"):
+        """System::placeImagingFrame (System.cc:267-271): decide whether an
+        imaging frame at this timestamp is worth keeping — pose it from the
+        SLAM trajectory + rig transform, keep when its landmark overlap
+        with the previously retained frame drops below the threshold and
+        enough landmarks are visible. Returns (keep, Tcw)."""
+        from hyslam_tpu.slam.imaging import ImagingFramePlacer
+
+        if not hasattr(self, "_frame_placer"):
+            self._frame_placer = ImagingFramePlacer(
+                self.cameras[imaging_camera])
+        slam = self.trackers["SLAM"]
+        Tcam = self.config.cameras[imaging_camera].Tcam
+        Tcam = None if Tcam is None else jnp.asarray(Tcam, jnp.float32)
+        return self._frame_placer.should_keep(
+            slam.ms, slam.traj, timestamp, Tcam)
+
+    def set_imaging_frame_placer_params(self, overlap_threshold: float,
+                                        min_visible: int,
+                                        imaging_camera: str = "Imaging"):
+        """System::setImagingFramePlacerParams (System.cc:274-281)."""
+        from hyslam_tpu.slam.imaging import ImagingFramePlacer
+
+        if not hasattr(self, "_frame_placer"):
+            self._frame_placer = ImagingFramePlacer(
+                self.cameras[imaging_camera])
+        self._frame_placer.overlap_threshold = overlap_threshold
+        self._frame_placer.min_visible = min_visible
+
     def run_imaging_bundle_adjustment(self, imaging_camera: str = "Imaging"):
         """System::RunImagingBundleAdjustment: align + register all imaging
         sub-maps via the SLAM trajectory, then run the trajectory-time BA

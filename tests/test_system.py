@@ -157,3 +157,47 @@ class TestSystemImages:
         errs = [pose_error(np.asarray(tracker.traj.Tcw[i]), Ts[i])[1]
                 for i in range(n)]
         assert np.median(errs) < 0.08, errs
+
+
+class TestImagingPlacerHook:
+    def test_place_imaging_frame(self):
+        """System::placeImagingFrame analog: keep decision rides the SLAM
+        trajectory; before any SLAM tracking there is nothing to place."""
+        import numpy as np
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from helpers import DEFAULT_CAM, make_world, synth_frame_features
+
+        from hyslam_tpu.core.mapstate import MapCaps
+        from hyslam_tpu.io.config import CameraConfig, SystemConfig
+        from hyslam_tpu.slam.system import System
+
+        rng = np.random.default_rng(0)
+        pts = make_world(rng, 600, extent=(10.0, 7.0, 40.0))
+        descs = rng.integers(0, 2**32, (600, 8), dtype=np.uint32)
+        cfg = SystemConfig(caps=MapCaps(K=32, L=4096, F=256, O=8),
+                           enable_loop_closing=False)
+        cfg.cameras["SLAM"] = CameraConfig(bf=45.0)
+        cfg.cameras["Imaging"] = CameraConfig(mono=True)
+        sysm = System(cfg)
+        cam = sysm.cameras["SLAM"]
+
+        keep0, _ = sysm.place_imaging_frame(0.0)
+        assert keep0 is False  # no trajectory yet
+
+        T = np.eye(4, dtype=np.float32)
+        for i in range(6):
+            T2 = T.copy()
+            T2[2, 3] = -0.1 * i
+            feats, _ = synth_frame_features(cam, T2, pts, descs, rng, F=256)
+            sysm.track_features(feats, timestamp=0.1 * i)
+
+        keep, Tcw = sysm.place_imaging_frame(0.25)
+        assert keep in (True, False)
+        assert np.asarray(Tcw).shape == (4, 4)
+        # first retainable frame with map landmarks visible is kept
+        assert keep is True
+
+        sysm.set_imaging_frame_placer_params(0.5, 10**6)
+        keep2, _ = sysm.place_imaging_frame(0.3)
+        assert keep2 is False  # min-visible made impossible
