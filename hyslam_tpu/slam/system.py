@@ -126,7 +126,27 @@ class System:
                 self._mapping_log.log(camera, tel.kf_inserted,
                                       tel.mapper_stats)
             self._on_new_keyframe(camera, tel.kf_inserted)
+        self._transition_states()
         return tel
+
+    def _transition_states(self):
+        """Cross-camera state coupling (TrackingStateTransitionReinit.cpp:
+        101-119): while the SLAM camera is lost, accessory cameras are held
+        in NULL_STATE (their poses ride the SLAM trajectory and cannot be
+        placed); when SLAM recovers they re-enter INITIALIZATION (their new
+        init map becomes a submap aligned via the SLAM trajectory,
+        TrackingStateInitialize.cpp:34-41 / slam.imaging)."""
+        slam = self.trackers.get("SLAM")
+        if slam is None or len(self.trackers) < 2:
+            return
+        lost = slam.state in (State.REINITIALIZE, State.RELOCALIZE)
+        for name, t in self.trackers.items():
+            if name == "SLAM":
+                continue
+            if lost and t.state != State.NULL:
+                t.state = State.NULL
+            elif not lost and t.state == State.NULL:
+                t.state = State.INITIALIZE
 
     # ----------------------------------------------------------- loop closing
 

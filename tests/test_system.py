@@ -201,3 +201,49 @@ class TestImagingPlacerHook:
         sysm.set_imaging_frame_placer_params(0.5, 10**6)
         keep2, _ = sysm.place_imaging_frame(0.3)
         assert keep2 is False  # min-visible made impossible
+
+
+class TestStateCoupling:
+    def test_imaging_forced_null_while_slam_lost(self):
+        """TrackingStateTransitionReinit.cpp:101-119: accessory cameras are
+        NULL while SLAM is lost and re-initialize when it recovers."""
+        import numpy as np
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from helpers import make_world, synth_frame_features
+
+        from hyslam_tpu.core.mapstate import MapCaps
+        from hyslam_tpu.io.config import CameraConfig, SystemConfig
+        from hyslam_tpu.slam.system import System
+        from hyslam_tpu.slam.tracker import State
+
+        rng = np.random.default_rng(0)
+        pts = make_world(rng, 800, extent=(10.0, 7.0, 60.0))
+        descs = rng.integers(0, 2**32, (800, 8), dtype=np.uint32)
+        cfg = SystemConfig(caps=MapCaps(K=32, L=4096, F=256, O=8),
+                           enable_loop_closing=False)
+        cfg.cameras["SLAM"] = CameraConfig(bf=45.0)
+        cfg.cameras["Imaging"] = CameraConfig(mono=True)
+        sysm = System(cfg)
+        sysm.trackers["SLAM"].reset_interval = 6   # force a loss
+        cam = sysm.cameras["SLAM"]
+
+        T = np.eye(4, dtype=np.float32)
+        states = []
+        for i in range(10):
+            T2 = T.copy()
+            T2[2, 3] = -0.1 * i
+            feats, _ = synth_frame_features(cam, T2, pts, descs, rng, F=256)
+            sysm.track_features(feats, timestamp=0.1 * i)
+            states.append((sysm.trackers["SLAM"].state,
+                           sysm.trackers["Imaging"].state))
+
+        # while SLAM was lost (forced at frame index 5), Imaging was NULL
+        lost_idx = [i for i, (s, _) in enumerate(states)
+                    if s == State.REINITIALIZE]
+        assert lost_idx, f"no forced loss observed: {states}"
+        assert states[lost_idx[0]][1] == State.NULL
+        # after recovery the imaging camera returns to INITIALIZE
+        s_final, i_final = states[-1]
+        assert s_final in (State.NORMAL, State.POSTINIT)
+        assert i_final == State.INITIALIZE
