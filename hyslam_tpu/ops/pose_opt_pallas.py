@@ -34,6 +34,34 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+_PALLAS_OK: bool | None = None
+
+
+def pallas_supported() -> bool:
+    """Probe whether this runtime executes pallas kernels (proxied TPU
+    runtimes may report platform 'tpu' but reject Mosaic custom calls)."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        if _interpret():
+            _PALLAS_OK = True  # interpreter path always works
+        else:
+            try:
+                def k(x_ref, o_ref):
+                    o_ref[:] = x_ref[:] * 2.0
+
+                out = pl.pallas_call(
+                    k,
+                    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                )(jnp.ones((8, 128), jnp.float32))
+                jax.block_until_ready(out)
+                _PALLAS_OK = True
+            except Exception:
+                _PALLAS_OK = False
+    return _PALLAS_OK
+
+
 def _chol6_solve(H, b):
     """Unrolled 6x6 Cholesky solve on scalar values. H: [6][6] nested list
     of scalars (symmetric), b: [6] list. Returns [6] list."""
@@ -162,11 +190,13 @@ def _make_kernel(cam: Camera, n_rounds: int, iters_per_round: int):
             c2 = jnp.where(pz > 0.05, c2, 1e9)
             return px, py, pz, iz, iz2, ru, rv, rr, c2
 
-        def one_round(rstate, ridx):
+        def one_round(ridx, rstate):
+            # fori_loop, not lax.scan: Mosaic has no lowering for scan
+            # extensive inputs/outputs or non-index carries inside kernels
             Rt, active = rstate
             use_huber = ridx < 2
 
-            def lm_iter(istate, _):
+            def lm_iter(_i, istate):
                 (R, t), lam, _ = istate
                 px, py, pz, iz, iz2, ru, rv, rr, c2 = residual_terms(R, t)
                 hub = jnp.where(
@@ -240,22 +270,21 @@ def _make_kernel(cam: Camera, n_rounds: int, iters_per_round: int):
                     jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6
                 )
                 return ((R_out, t_out), lam_out,
-                        jnp.where(accept, cost2, cost)), None
+                        jnp.where(accept, cost2, cost))
 
             init = (Rt, jnp.float32(1e-3), jnp.float32(np.inf))
-            (Rt, _, _), _ = jax.lax.scan(
-                lm_iter, init, None, length=iters_per_round
+            (Rt, _, _) = jax.lax.fori_loop(
+                0, iters_per_round, lm_iter, init
             )
             R, t = Rt
             _, _, _, _, _, _, _, _, c2 = residual_terms(R, t)
             active_next = (valid > 0) & (c2 <= th_vec)
-            return (Rt, active_next.astype(active.dtype)), None
+            return (Rt, active_next.astype(active.dtype))
 
         R0 = [T0_ref[i, j] for i in range(3) for j in range(3)]
         t0 = [T0_ref[i, 3] for i in range(3)]
-        ((R, t), active), _ = jax.lax.scan(
-            one_round, ((R0, t0), valid), jnp.arange(n_rounds),
-            length=n_rounds,
+        ((R, t), active) = jax.lax.fori_loop(
+            0, n_rounds, one_round, ((R0, t0), valid)
         )
         _, _, _, _, _, _, _, _, c2 = residual_terms(R, t)
         inliers = (valid > 0) & (c2 <= th_vec)
@@ -287,7 +316,16 @@ def pose_optimization_pallas(
     iters_per_round: int = 10,
 ):
     """Drop-in single-launch replacement for solver.pose_opt.
-    Returns (Tcw [4,4], inliers [N] bool, num_inliers scalar)."""
+    Returns (Tcw [4,4], inliers [N] bool, num_inliers scalar).
+
+    Falls back to the XLA pose optimizer when the runtime cannot execute
+    pallas kernels (probed once per process)."""
+    if not pallas_supported():
+        from hyslam_tpu.solver.pose_opt import pose_optimization
+
+        res = pose_optimization(cam, Tcw0, X, uv, ur, inv_sigma2, valid,
+                                stereo)
+        return res.Tcw, res.inliers, res.num_inliers
     N = X.shape[0]
     kernel = _make_kernel(cam, n_rounds, iters_per_round)
     Tout, inl, ninl = pl.pallas_call(
