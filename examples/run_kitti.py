@@ -1,0 +1,93 @@
+"""Run stereo SLAM on a KITTI odometry sequence and report ATE/RPE.
+
+The reference is driven by external apps through HYSLAM::System
+(System.h:74); this is that driver for KITTI:
+
+    python examples/run_kitti.py /data/kitti/odometry --sequence 00 \
+        --frames 500 --out out_kitti/
+
+Writes trajectory (TUM format), COLMAP export, the map checkpoint, and
+prints ATE RMSE / RPE against the ground-truth poses when present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from hyslam_tpu.core.mapstate import MapCaps
+from hyslam_tpu.io.config import CameraConfig, SystemConfig
+from hyslam_tpu.io.datasets import KittiOdometry
+from hyslam_tpu.io.evaluate import ate_rmse, rpe
+from hyslam_tpu.slam.system import System
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("root", help="KITTI odometry root (contains sequences/)")
+    ap.add_argument("--sequence", default="00")
+    ap.add_argument("--frames", type=int, default=0, help="0 = all")
+    ap.add_argument("--out", default="out_kitti")
+    ap.add_argument("--viz", action="store_true",
+                    help="write map/frame snapshots")
+    args = ap.parse_args(argv)
+
+    ds = KittiOdometry(args.root, args.sequence)
+    c = ds.calib
+    cfg = SystemConfig(
+        caps=MapCaps(K=512, L=32768, F=2048, O=16),
+        run_data_dir=os.path.join(args.out, "run_data"),
+    )
+    cfg.cameras["SLAM"] = CameraConfig(
+        fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy, width=c.width, height=c.height,
+        bf=c.bf, th_depth=c.bf / c.fx * 40.0,
+    )
+    slam = System(cfg)
+    viewer = None
+    if args.viz:
+        from hyslam_tpu.viz import Viewer
+
+        viewer = Viewer(out_dir=os.path.join(args.out, "viz"))
+
+    stop = args.frames or None
+    est, gt, times = [], [], []
+    t0 = time.perf_counter()
+    for fr in ds.frames(stop=stop):
+        tel = slam.track_stereo(fr.img_left, fr.img_right, fr.timestamp)
+        tr = slam.trackers["SLAM"]
+        est.append(np.asarray(tr.last_Tcw))
+        times.append(fr.timestamp)
+        if fr.gt_Tcw is not None:
+            gt.append(fr.gt_Tcw)
+        if viewer is not None:
+            viewer.update(tr.ms, current_Tcw=tr.last_Tcw)
+        if tel.frame_id % 50 == 0:
+            print(f"frame {tel.frame_id}: state={tel.state} "
+                  f"inliers={tel.n_inliers}", flush=True)
+    wall = time.perf_counter() - t0
+
+    os.makedirs(args.out, exist_ok=True)
+    slam.save_trajectory_tum(os.path.join(args.out, "trajectory_tum.txt"))
+    slam.export_colmap(args.out)
+    slam.save_map(os.path.join(args.out, "map.npz"))
+    if viewer is not None:
+        viewer.snapshot("final")
+
+    n = len(est)
+    print(f"{n} frames in {wall:.1f}s -> {n / wall:.1f} fps")
+    if len(gt) == n and n > 1:
+        a = ate_rmse(np.stack(est), np.stack(gt))
+        r_t, r_r = rpe(np.stack(est), np.stack(gt))
+        print(f"ATE RMSE: {a:.3f} m | RPE: {r_t:.4f} m/frame, "
+              f"{r_r:.4f} deg/frame")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,82 @@
+"""Run monocular SLAM on a TUM RGB-D sequence (e.g. fr1/desk) and report
+ATE against the ground truth (the SURVEY.md §7.3 second slice: mono
+initializer + reference-keyframe tracking).
+
+    python examples/run_tum.py /data/tum/rgbd_dataset_freiburg1_desk \
+        --frames 300 --out out_tum/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from hyslam_tpu.core.mapstate import MapCaps
+from hyslam_tpu.io.config import CameraConfig, SystemConfig
+from hyslam_tpu.io.datasets import TumRgbd
+from hyslam_tpu.io.evaluate import ate_rmse
+from hyslam_tpu.slam.system import System
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("root", help="TUM sequence dir (rgb.txt, depth.txt, ...)")
+    ap.add_argument("--frames", type=int, default=0)
+    ap.add_argument("--out", default="out_tum")
+    args = ap.parse_args(argv)
+
+    ds = TumRgbd(args.root)
+    cfg = SystemConfig(caps=MapCaps(K=256, L=16384, F=1024, O=16))
+    cfg.cameras["SLAM"] = CameraConfig(
+        fx=ds.FX, fy=ds.FY, cx=ds.CX, cy=ds.CY, width=640, height=480,
+        mono=True,
+    )
+    slam = System(cfg)
+
+    stop = args.frames or None
+    est, ts = [], []
+    t0 = time.perf_counter()
+    for i, t, img, _depth in ds.frames(stop=stop):
+        tel = slam.track_monocular(img, t)
+        tr = slam.trackers["SLAM"]
+        est.append(np.asarray(tr.last_Tcw))
+        ts.append(t)
+        if i % 50 == 0:
+            print(f"frame {i}: state={tel.state} inliers={tel.n_inliers}",
+                  flush=True)
+    wall = time.perf_counter() - t0
+
+    os.makedirs(args.out, exist_ok=True)
+    slam.save_trajectory_tum(os.path.join(args.out, "trajectory_tum.txt"))
+    slam.save_map(os.path.join(args.out, "map.npz"))
+    print(f"{len(est)} frames in {wall:.1f}s -> {len(est) / wall:.1f} fps")
+
+    if ds.gt is not None and len(est) > 1:
+        # associate gt by timestamp, build Tcw from (t xyz quat) world poses
+        from hyslam_tpu.geometry import so3
+        import jax.numpy as jnp
+
+        gts = []
+        for t in ts:
+            j = int(np.argmin(np.abs(ds.gt[:, 0] - t)))
+            tx, ty, tz, qx, qy, qz, qw = ds.gt[j, 1:8]
+            R = np.asarray(so3.mat_from_quat(
+                jnp.asarray([qw, qx, qy, qz], jnp.float32)))
+            Twc = np.eye(4, dtype=np.float32)
+            Twc[:3, :3] = R
+            Twc[:3, 3] = [tx, ty, tz]
+            gts.append(np.linalg.inv(Twc))
+        # monocular scale is free: sim3 alignment
+        a = ate_rmse(np.stack(est), np.stack(gts), align="sim3")
+        print(f"ATE RMSE (sim3-aligned): {a:.4f} m")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
