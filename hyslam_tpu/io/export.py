@@ -193,3 +193,69 @@ def load_map_state(path: str) -> MapState:
         next_kf=jnp.asarray(z["next_kf"]),
         next_lm=jnp.asarray(z["next_lm"]),
     )
+
+
+def save_checkpoint(path: str, tracker) -> None:
+    """Full per-camera checkpoint: map state + trajectory + sensor arena +
+    tracker scalars (resume support the reference never had,
+    System.h:131-134 TODO stubs)."""
+    flat = {}
+
+    def add(prefix, nt):
+        for name, val in nt._asdict().items():
+            flat[f"{prefix}.{name}"] = np.asarray(val)
+
+    add("kf", tracker.ms.kf)
+    add("lm", tracker.ms.lm)
+    add("maps", tracker.ms.maps)
+    flat["covis"] = np.asarray(tracker.ms.covis)
+    flat["next_kf"] = np.asarray(tracker.ms.next_kf)
+    flat["next_lm"] = np.asarray(tracker.ms.next_lm)
+    add("traj", tracker.traj)
+    add("sensors", tracker.sensors)
+    flat["tk.state"] = np.asarray(tracker.state.value)
+    flat["tk.last_Tcw"] = np.asarray(tracker.last_Tcw)
+    flat["tk.last_Tcr"] = np.asarray(tracker.last_Tcr)
+    flat["tk.scalars"] = np.asarray([
+        tracker.ref_kf, tracker.last_ref_kf, tracker.last_kf_frame_id,
+        tracker.n_frames,
+    ])
+    if tracker.last_feats is not None:
+        add("last_feats", tracker.last_feats)
+        flat["tk.last_lm_id"] = np.asarray(tracker.last_lm_id)
+    np.savez_compressed(path, **flat)
+
+
+def load_checkpoint(path: str, tracker) -> None:
+    """Restore a tracker saved by save_checkpoint (in place)."""
+    from hyslam_tpu.core.sensordata import SensorArena
+    from hyslam_tpu.core.trajectory import Trajectory as TJ
+    from hyslam_tpu.slam.tracker import State
+
+    z = np.load(path)
+
+    def sub(prefix, cls):
+        return cls(**{
+            name: jnp.asarray(z[f"{prefix}.{name}"]) for name in cls._fields
+        })
+
+    tracker.ms = MapState(
+        kf=sub("kf", MS.KeyFrameArena),
+        lm=sub("lm", MS.LandmarkArena),
+        maps=sub("maps", MS.MapTable),
+        covis=jnp.asarray(z["covis"]),
+        next_kf=jnp.asarray(z["next_kf"]),
+        next_lm=jnp.asarray(z["next_lm"]),
+    )
+    tracker.traj = sub("traj", TJ)
+    tracker.sensors = sub("sensors", SensorArena)
+    tracker.state = State(int(z["tk.state"]))
+    tracker.last_Tcw = np.asarray(z["tk.last_Tcw"])
+    tracker.last_Tcr = np.asarray(z["tk.last_Tcr"])
+    (tracker.ref_kf, tracker.last_ref_kf, tracker.last_kf_frame_id,
+     tracker.n_frames) = (int(x) for x in z["tk.scalars"])
+    if "last_feats.uv" in z:
+        from hyslam_tpu.core.frame import FrameFeatures
+
+        tracker.last_feats = sub("last_feats", FrameFeatures)
+        tracker.last_lm_id = jnp.asarray(z["tk.last_lm_id"])

@@ -273,6 +273,14 @@ class System:
     def load_map(self, path: str, camera: str = "SLAM"):
         self.trackers[camera].ms = EXP.load_map_state(path)
 
+    def save_checkpoint(self, path: str, camera: str = "SLAM"):
+        """Full resume checkpoint: map + trajectory + sensors + tracker
+        state (capability the reference stubs, System.h:131-134)."""
+        EXP.save_checkpoint(path, self.trackers[camera])
+
+    def load_checkpoint(self, path: str, camera: str = "SLAM"):
+        EXP.load_checkpoint(path, self.trackers[camera])
+
     def save_map_points(self, path: str, camera: str = "SLAM"):
         EXP.save_map_points_tsv(path, self.trackers[camera].ms)
 

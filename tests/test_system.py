@@ -247,3 +247,53 @@ class TestStateCoupling:
         s_final, i_final = states[-1]
         assert s_final in (State.NORMAL, State.POSTINIT)
         assert i_final == State.INITIALIZE
+
+
+class TestCheckpointResume:
+    def test_save_load_resume_tracking(self, tmp_path):
+        """Full checkpoint: a restored System continues tracking seamlessly
+        (resume support the reference never implemented)."""
+        import numpy as np
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from helpers import make_world, synth_frame_features
+
+        from hyslam_tpu.core.mapstate import MapCaps
+        from hyslam_tpu.io.config import CameraConfig, SystemConfig
+        from hyslam_tpu.slam.system import System
+
+        rng = np.random.default_rng(0)
+        pts = make_world(rng, 800, extent=(10.0, 7.0, 60.0))
+        descs = rng.integers(0, 2**32, (800, 8), dtype=np.uint32)
+
+        def mk():
+            cfg = SystemConfig(caps=MapCaps(K=32, L=4096, F=256, O=8),
+                               enable_loop_closing=False)
+            cfg.cameras["SLAM"] = CameraConfig(bf=45.0)
+            return System(cfg)
+
+        s1 = mk()
+        cam = s1.cameras["SLAM"]
+        T = np.eye(4, dtype=np.float32)
+        frames = []
+        for i in range(10):
+            T2 = T.copy()
+            T2[2, 3] = -0.1 * i
+            feats, _ = synth_frame_features(cam, T2, pts, descs, rng, F=256)
+            frames.append((feats, 0.1 * i))
+        for feats, t in frames[:6]:
+            s1.track_features(feats, timestamp=t)
+        p = str(tmp_path / "ckpt.npz")
+        s1.save_checkpoint(p)
+
+        # restore into a FRESH system and keep tracking the same stream
+        s2 = mk()
+        s2.load_checkpoint(p)
+        s2._frame_counter = 6
+        tr1, tr2 = s1.trackers["SLAM"], s2.trackers["SLAM"]
+        assert tr2.state == tr1.state
+        assert int(np.asarray(tr2.ms.next_kf)) == int(np.asarray(tr1.ms.next_kf))
+        for feats, t in frames[6:]:
+            tel = s2.track_features(feats, timestamp=t)
+        assert tel.state in ("NORMAL", "POSTINIT")
+        assert tel.n_inliers > 100
