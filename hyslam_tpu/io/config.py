@@ -36,6 +36,11 @@ class CameraConfig:
     mono: bool = False
     Tcam: Optional[list] = None  # 4x4 rig extrinsic body->camera
     extractor: ExtractorConfig = field(default_factory=ExtractorConfig)
+    init_feature_factor: int = 3  # feature-budget multiplier while the
+                                  # tracker is initializing (the "init"
+                                  # extractor of the per-camera trio,
+                                  # ImageProcessing.cpp:28-37; capped at the
+                                  # arena capacity caps.F)
     policy: KeyFramePolicyParams = field(default_factory=KeyFramePolicyParams)
 
     def camera(self) -> Camera:

@@ -195,10 +195,11 @@ def load_map_state(path: str) -> MapState:
     )
 
 
-def save_checkpoint(path: str, tracker) -> None:
+def save_checkpoint(path: str, tracker, system_scalars=None) -> None:
     """Full per-camera checkpoint: map state + trajectory + sensor arena +
     tracker scalars (resume support the reference never had,
-    System.h:131-134 TODO stubs)."""
+    System.h:131-134 TODO stubs). system_scalars: optional iterable of
+    System-level counters (frame counter, KFs since GBA) stored alongside."""
     flat = {}
 
     def add(prefix, nt):
@@ -218,16 +219,20 @@ def save_checkpoint(path: str, tracker) -> None:
     flat["tk.last_Tcr"] = np.asarray(tracker.last_Tcr)
     flat["tk.scalars"] = np.asarray([
         tracker.ref_kf, tracker.last_ref_kf, tracker.last_kf_frame_id,
-        tracker.n_frames,
+        tracker.n_frames, tracker.postinit_left, tracker.frames_since_reloc,
+        tracker.mapper.kf_count,
     ])
+    if system_scalars is not None:
+        flat["sys.scalars"] = np.asarray(list(system_scalars))
     if tracker.last_feats is not None:
         add("last_feats", tracker.last_feats)
         flat["tk.last_lm_id"] = np.asarray(tracker.last_lm_id)
     np.savez_compressed(path, **flat)
 
 
-def load_checkpoint(path: str, tracker) -> None:
-    """Restore a tracker saved by save_checkpoint (in place)."""
+def load_checkpoint(path: str, tracker):
+    """Restore a tracker saved by save_checkpoint (in place). Returns the
+    saved System-level scalars (or None if none were stored)."""
     from hyslam_tpu.core.sensordata import SensorArena
     from hyslam_tpu.core.trajectory import Trajectory as TJ
     from hyslam_tpu.slam.tracker import State
@@ -252,10 +257,16 @@ def load_checkpoint(path: str, tracker) -> None:
     tracker.state = State(int(z["tk.state"]))
     tracker.last_Tcw = np.asarray(z["tk.last_Tcw"])
     tracker.last_Tcr = np.asarray(z["tk.last_Tcr"])
+    sc = [int(x) for x in z["tk.scalars"]]
     (tracker.ref_kf, tracker.last_ref_kf, tracker.last_kf_frame_id,
-     tracker.n_frames) = (int(x) for x in z["tk.scalars"])
+     tracker.n_frames) = sc[:4]
+    if len(sc) >= 7:  # r1 checkpoints stored only the first four
+        tracker.postinit_left = sc[4]
+        tracker.frames_since_reloc = sc[5]
+        tracker.mapper.kf_count = sc[6]
     if "last_feats.uv" in z:
         from hyslam_tpu.core.frame import FrameFeatures
 
         tracker.last_feats = sub("last_feats", FrameFeatures)
         tracker.last_lm_id = jnp.asarray(z["tk.last_lm_id"])
+    return z["sys.scalars"] if "sys.scalars" in z else None

@@ -22,10 +22,18 @@ from hyslam_tpu.solver.ba import (
 )
 
 
-@partial(jax.jit, static_argnames=("cam",))
-def build_global_problem(ms: MapState, cam: Camera) -> BAProblem:
+@partial(jax.jit, static_argnames=("cam", "tie_active"))
+def build_global_problem(ms: MapState, cam: Camera,
+                         tie_active: bool = False) -> BAProblem:
     """Full-map BAProblem using arena indices directly (K slots = arena
-    slots; invalid/bad entries masked via kf_fixed / lm_valid)."""
+    slots; invalid/bad entries masked via kf_fixed / lm_valid).
+
+    tie_active: whether submap tiepoint pose priors will constrain the
+    problem (run_global_ba sets it from the built priors). Origins of maps
+    with no active tiepoint stay FIXED — a submap registered without a
+    tiepoint (or with tiepoint_info=0) would otherwise be a disconnected
+    component with full gauge freedom, making the reduced camera system
+    singular (ADVICE r1)."""
     K, L, O, F = ms.K, ms.L, ms.O, ms.F
     kf_ok = ms.kf.valid & ~ms.kf.bad
     lm_ok = ms.lm.valid & ~ms.lm.bad
@@ -43,15 +51,23 @@ def build_global_problem(ms: MapState, cam: Camera) -> BAProblem:
         cx=jnp.full((K,), cam.cx), cy=jnp.full((K,), cam.cy),
         bf=jnp.full((K,), cam.bf),
     )
-    # fix only the root-map origin (the reference GBA fixes KF0 alone,
-    # LoopClosing.cc:681-799 / GlobalBundleAdjustment.cc); submap origins
-    # stay free — they are constrained by reprojection + the tiepoint
-    # priors (SetSubMapOriginEdges)
+    # the root-map origin is always fixed (the reference GBA fixes KF0,
+    # LoopClosing.cc:681-799 / GlobalBundleAdjustment.cc); a submap origin is
+    # free only when an active tiepoint edge (SetSubMapOriginEdges) ties its
+    # map into the optimized component — otherwise it stays fixed so the
+    # submap keeps the gauge its registration/alignment gave it
     slot = jnp.arange(K)
     first_origin = jnp.min(jnp.where(ms.kf.origin & kf_ok, slot, K))
+    mt = ms.maps
+    map_tied = mt.registered & (mt.tie_kf >= 0) & (mt.parent >= 0)
+    map_tied = map_tied & kf_ok[jnp.clip(mt.tie_kf, 0, K - 1)]
+    if not tie_active:
+        map_tied = jnp.zeros_like(map_tied)
+    kf_map_tied = map_tied[jnp.clip(ms.kf.map_id, 0, M.MAX_MAPS - 1)]
+    fixed_origin = ms.kf.origin & kf_ok & ~kf_map_tied
     return BAProblem(
         kf_Tcw=ms.kf.Tcw,
-        kf_fixed=~kf_ok | (slot == first_origin),
+        kf_fixed=~kf_ok | fixed_origin | (slot == first_origin),
         cams=cams,
         lm_pos=ms.lm.pos,
         lm_valid=lm_ok,
@@ -73,10 +89,13 @@ def run_global_ba(ms: MapState, cam: Camera, n_iters: int = 20,
 
     sensors/opt_info enable the sensor-fusion + submap-tiepoint pose priors
     (BundleAdjustment.cc:60-201) via slam.sensor_fusion.build_pose_priors."""
-    prob = build_global_problem(ms, cam)
+    import numpy as np
     from hyslam_tpu.slam.sensor_fusion import build_pose_priors
 
     priors = build_pose_priors(ms, sensors=sensors, opt=opt_info)
+    tie_active = (priors is not None
+                  and bool(np.asarray(priors.tie_valid).any()))
+    prob = build_global_problem(ms, cam, tie_active=tie_active)
     if priors is not None:
         prob = prob._replace(priors=priors)
     if mesh is None:

@@ -47,16 +47,7 @@ class System:
         self._tracking_log = None
         self._mapping_log = None
         self.timer = None
-        if self.config.run_data_dir:
-            from hyslam_tpu.utils.telemetry import (
-                MappingLog, StageTimer, TrackingLog,
-            )
-
-            d = self.config.run_data_dir
-            self._tracking_log = TrackingLog(os.path.join(d, "tracking_data.txt"))
-            self._mapping_log = MappingLog(
-                os.path.join(d, "localmapping_data.txt"))
-            self.timer = StageTimer()
+        self._open_logs()
         self._families = {}   # per-camera feature family (FeatureFactory)
         for name, cc in self.config.cameras.items():
             cam = cc.camera()
@@ -89,15 +80,23 @@ class System:
         fl = extract(il, capacity=F)
         fr = extract(ir, capacity=F)
         fl = match_stereo_refined(fl, fr, il, ir, bf=cam.bf)
+        self._maybe_dump_frame(camera, il, fl)
         return self.track_features(fl, timestamp, camera, frame_id,
                                    sensor_data)
 
     def track_monocular(self, img, timestamp: float, camera: str = "SLAM",
                         frame_id: int | None = None, sensor_data=None):
+        """System::TrackMonocular -> ImageProcessing::ProcessMonoImage:
+        while the tracker is initializing, the 3x-feature "init" extractor
+        of the per-camera trio is used (ImageProcessing.cpp:28-37,49-54)."""
         cc = self.config.cameras[camera]
         gray = to_grayscale(jnp.asarray(img))
-        feats = self._families[camera].extract(
-            gray, capacity=self._capacity(cc))
+        fam = self._families[camera]
+        if (self.trackers[camera].state == State.INITIALIZE
+                and cc.init_feature_factor > 1):
+            fam = self._init_family(camera)
+        feats = fam.extract(gray, capacity=self._capacity(cc))
+        self._maybe_dump_frame(camera, gray, feats)
         return self.track_features(feats, timestamp, camera, frame_id,
                                    sensor_data)
 
@@ -146,12 +145,17 @@ class System:
             if lost and t.state != State.NULL:
                 t.state = State.NULL
             elif not lost and t.state == State.NULL:
-                t.state = State.INITIALIZE
+                # re-init in a fresh private submap so the old map keeps a
+                # single origin/gauge; the submap is aligned + registered
+                # later by imaging BA (ADVICE r1: a plain INITIALIZE here
+                # would add a second origin to the still-active map)
+                t.reenter_initialize()
 
     # ----------------------------------------------------------- loop closing
 
     def _on_new_keyframe(self, camera: str, kf_id: int):
         tracker = self.trackers[camera]
+        map_moved = False
         if self.config.enable_loop_closing and camera == "SLAM":
             closer = self._get_loop_closer(camera)
             if closer is not None:
@@ -164,6 +168,7 @@ class System:
                         sensors=tracker.sensors,
                         opt_info=self.config.optimizer,
                     )
+                    map_moved = True
         # periodic GBA in non-realtime mode (Mapping::RunGlobalBA cadence)
         self._kfs_since_gba += 1
         if (not self.config.optimizer.realtime
@@ -173,6 +178,19 @@ class System:
                 sensors=tracker.sensors, opt_info=self.config.optimizer,
             )
             self._kfs_since_gba = 0
+            map_moved = True
+        if map_moved:
+            self._refresh_trajectory(camera)
+
+    def _refresh_trajectory(self, camera: str):
+        """Re-derive every trajectory pose from its (re-optimized) reference
+        keyframe (Trajectory::updatePoses, Trajectory.cc:152 — hySLAM's
+        continuously re-anchored per-frame trajectory)."""
+        from hyslam_tpu.core import trajectory as TJ
+
+        t = self.trackers[camera]
+        t.traj = TJ.refresh(t.traj, t.ms.kf.Tcw, t.ms.kf.bad,
+                            t.ms.kf.span_parent)
 
     def _get_loop_closer(self, camera: str) -> Optional[LoopCloser]:
         if camera in self.loop_closers:
@@ -203,6 +221,10 @@ class System:
             fix_scale=not self.config.cameras[camera].mono,
         )
         self.loop_closers[camera] = closer
+        # share the recognizer with the tracker's relocalization path
+        # (TrackPlaceRecognition ranks candidates through the same
+        # place-recognition index, PlaceRecognizer.h:25-96)
+        tracker.recognizer = pr
         return closer
 
     # ------------------------------------------------------------- dual-camera
@@ -237,26 +259,39 @@ class System:
         self._frame_placer.overlap_threshold = overlap_threshold
         self._frame_placer.min_visible = min_visible
 
-    def run_imaging_bundle_adjustment(self, imaging_camera: str = "Imaging"):
+    def run_imaging_bundle_adjustment(self, imaging_camera: str = "Imaging",
+                                      sparsify_overlap: float = 0.98):
         """System::RunImagingBundleAdjustment: align + register all imaging
-        sub-maps via the SLAM trajectory, then run the trajectory-time BA
-        (hyslam_tpu.slam.imaging)."""
+        sub-maps via the SLAM trajectory, run the trajectory-time BA
+        (hyslam_tpu.slam.imaging), then sparsify the imaging map
+        (GenUtils::sparsifyMap with 0.98, System.cc:262-263). Pass
+        sparsify_overlap=None to skip sparsification."""
         from hyslam_tpu.slam.imaging import run_imaging_ba
+        from hyslam_tpu.slam.sparsify import sparsify_map
 
+        # re-anchor the SLAM trajectory to the latest optimized keyframes
+        # before using it to place imaging poses (System.cc:256 converts the
+        # freshly-updated trajectory)
+        self._refresh_trajectory("SLAM")
         slam = self.trackers["SLAM"]
         imaging = self.trackers[imaging_camera]
         imaging.ms = run_imaging_ba(
             imaging.ms, self.cameras[imaging_camera], slam.traj,
             self.config.cameras[imaging_camera].Tcam,
         )
+        if sparsify_overlap is not None:
+            imaging.ms, _ = sparsify_map(
+                imaging.ms, self.cameras[imaging_camera], sparsify_overlap)
 
     # ----------------------------------------------------------------- export
 
     def save_trajectory(self, path: str, camera: str = "SLAM"):
+        self._refresh_trajectory(camera)
         t = self.trackers[camera]
         EXP.save_trajectory_tsv(path, t.traj, name=camera)
 
     def save_trajectory_tum(self, path: str, camera: str = "SLAM"):
+        self._refresh_trajectory(camera)
         EXP.save_trajectory_tum(path, self.trackers[camera].traj)
 
     def export_colmap(self, folder: str):
@@ -275,27 +310,54 @@ class System:
 
     def save_checkpoint(self, path: str, camera: str = "SLAM"):
         """Full resume checkpoint: map + trajectory + sensors + tracker
-        state (capability the reference stubs, System.h:131-134)."""
-        EXP.save_checkpoint(path, self.trackers[camera])
+        state + System counters (capability the reference stubs,
+        System.h:131-134)."""
+        EXP.save_checkpoint(
+            path, self.trackers[camera],
+            system_scalars=(self._frame_counter, self._kfs_since_gba),
+        )
 
     def load_checkpoint(self, path: str, camera: str = "SLAM"):
-        EXP.load_checkpoint(path, self.trackers[camera])
+        sys_scalars = EXP.load_checkpoint(path, self.trackers[camera])
+        if sys_scalars is not None:
+            self._frame_counter, self._kfs_since_gba = (
+                int(x) for x in sys_scalars)
 
     def save_map_points(self, path: str, camera: str = "SLAM"):
         EXP.save_map_points_tsv(path, self.trackers[camera].ms)
 
     # --------------------------------------------------------------- shutdown
 
+    def _open_logs(self):
+        if not self.config.run_data_dir:
+            return
+        from hyslam_tpu.utils.telemetry import (
+            MappingLog, StageTimer, TrackingLog,
+        )
+
+        d = self.config.run_data_dir
+        self._tracking_log = TrackingLog(os.path.join(d, "tracking_data.txt"))
+        self._mapping_log = MappingLog(
+            os.path.join(d, "localmapping_data.txt"))
+        self.timer = StageTimer()
+
+    def _close_logs(self):
+        if self._tracking_log is not None:
+            self._tracking_log.close()
+            self._tracking_log = None
+        if self._mapping_log is not None:
+            self._mapping_log.close()
+            self._mapping_log = None
+
     def shutdown(self):
         """System::Shutdown: flush pipelines (synchronous mode: no-op),
         close telemetry logs and refuse further input."""
         self._shutdown = True
-        if self._tracking_log is not None:
-            self._tracking_log.close()
-        if self._mapping_log is not None:
-            self._mapping_log.close()
+        self._close_logs()
 
     def reset(self):
+        """System::Reset: fresh trackers + reopened telemetry logs (usable
+        again after shutdown())."""
         for name, cc in self.config.cameras.items():
             self.trackers[name] = Tracker(
                 cam=self.cameras[name],
@@ -304,6 +366,8 @@ class System:
                 opt_info=self.config.optimizer,
             )
         self.loop_closers.clear()
+        self._close_logs()
+        self._open_logs()
         self._shutdown = False
 
     # ------------------------------------------------------------------ misc
@@ -313,3 +377,39 @@ class System:
         if cc.extractor.n_features > cap:
             raise ValueError("feature budget exceeds arena capacity F")
         return cap
+
+    def _init_family(self, camera: str):
+        """Cached 3x-feature extractor family used during initialization
+        (the extractor_init of the per-camera trio). The budget is capped
+        at the arena capacity so frame shapes stay static."""
+        if not hasattr(self, "_init_families"):
+            self._init_families = {}
+        if camera not in self._init_families:
+            cc = self.config.cameras[camera]
+            n = min(cc.extractor.n_features * cc.init_feature_factor,
+                    self.config.caps.F)
+            self._init_families[camera] = make_family(
+                cc.extractor._replace(n_features=n))
+        return self._init_families[camera]
+
+    def _maybe_dump_frame(self, camera: str, gray, feats, every: int = 20):
+        """Periodic annotated feature-image dump (ImageProcessing.cpp:87-98
+        writes a debug feature image every 20 frames when enabled)."""
+        if not self.config.run_data_dir:
+            return
+        if self._frame_counter % every != 0:
+            return
+        import numpy as _np
+        from hyslam_tpu.viz.draw2d import write_png
+        from hyslam_tpu.viz.frame_drawer import draw_frame
+
+        t = self.trackers[camera]
+        img = draw_frame(
+            _np.asarray(gray), _np.asarray(feats.uv),
+            _np.asarray(feats.valid), state=t.state.name,
+            n_kfs=int(_np.asarray(t.ms.next_kf)),
+            n_landmarks=int(_np.asarray(t.ms.next_lm)),
+        )
+        write_png(os.path.join(
+            self.config.run_data_dir,
+            f"features_{camera}_{self._frame_counter:06d}.png"), img)

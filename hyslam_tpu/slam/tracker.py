@@ -313,6 +313,30 @@ class Tracker:
         stereo SLAM reinitializes a registered submap; mono relocalizes."""
         self.state = State.RELOCALIZE if self.is_mono else State.REINITIALIZE
 
+    def reenter_initialize(self):
+        """Re-enter INITIALIZE without discarding the existing map (accessory
+        camera recovering from NULL, TrackingStateTransitionReinit.cpp:
+        101-119 / TrackingStateInitialize.cpp:34-41): the new initialization
+        happens in a fresh private submap so the previous map keeps its
+        single origin/gauge. The submap stays unregistered (no pose relation
+        to the parent is known yet) until imaging BA aligns + registers it
+        via the SLAM trajectory (slam.imaging.align_submaps_to_trajectory);
+        until then global BA holds its origin fixed."""
+        self.state = State.INITIALIZE
+        if hasattr(self, "_mono_init"):
+            self._mono_init.ref = None   # pre-loss frame is stale
+        if int(np.asarray(self.ms.next_kf)) == 0:
+            return  # nothing in the map yet: plain first init
+        # reuse an empty active submap left by a previous failed re-entry
+        active = int(np.asarray(self.ms.maps.active))
+        in_active = np.asarray(self.ms.kf.valid
+                               & (self.ms.kf.map_id == active))
+        if active != 0 and not in_active.any():
+            return
+        if int(np.asarray(self.ms.maps.n_maps)) >= M.MAX_MAPS:
+            return  # submap table full: keep current map (bounded capacity)
+        self.ms, _ = M.create_submap(self.ms)
+
     def _do_reinitialize(self, feats, timestamp, frame_id, tel):
         """TrackingStateReInitialize: new registered submap placed at the
         velocity-extrapolated pose, tied to the last reference KF."""
@@ -326,7 +350,12 @@ class Tracker:
 
     def _do_relocalize(self, feats, timestamp, frame_id, tel):
         from hyslam_tpu.slam.relocalization import try_relocalize  # lazy
-        ok, Tcw, lm_id, n = try_relocalize(self.cam, feats, self.ms)
+        # recognizer (BoW place recognition) is injected by System once the
+        # vocabulary exists; candidate ranking falls back to dense
+        # descriptor-set similarity without it
+        ok, Tcw, lm_id, n = try_relocalize(
+            self.cam, feats, self.ms,
+            recognizer=getattr(self, "recognizer", None))
         tel.n_inliers = n
         if not ok:
             return

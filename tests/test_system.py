@@ -102,6 +102,32 @@ class TestSystemAPI:
         sys2.load_map(path)
         assert int(sys2.trackers["SLAM"].ms.next_kf) == int(ms.next_kf)
 
+    def test_trajectory_reanchored_on_export(self, rng, tmp_path):
+        """Trajectory::updatePoses behavior: per-frame poses re-derive from
+        their (re-optimized) reference keyframes when the trajectory is
+        consumed (export / imaging placement / after GBA)."""
+        import jax.numpy as jnp
+
+        sys = small_system()
+        run_feature_sequence(sys, rng, n_frames=12)
+        tr = sys.trackers["SLAM"]
+        n = int(tr.traj.size)
+        before = np.asarray(tr.traj.Tcw[:n]).copy()
+        # simulate an optimizer moving every keyframe by a fixed offset
+        delta = np.eye(4, dtype=np.float32)
+        delta[0, 3] = 0.5
+        tr.ms = tr.ms._replace(kf=tr.ms.kf._replace(
+            Tcw=jnp.einsum("ij,kjl->kil", jnp.asarray(delta), tr.ms.kf.Tcw)))
+        sys.save_trajectory(str(tmp_path / "traj.tsv"))
+        after = np.asarray(tr.traj.Tcw[:n])
+        # every frame pose re-derives as Tcr @ (moved ref-KF pose)
+        ref = np.asarray(tr.traj.ref_kf[:n])
+        expected = np.einsum(
+            "kij,kjl->kil", np.asarray(tr.traj.Tcr[:n]),
+            np.asarray(tr.ms.kf.Tcw)[ref])
+        np.testing.assert_allclose(after, expected, atol=1e-5)
+        assert not np.allclose(after, before, atol=1e-3)
+
     def test_config_yaml_roundtrip(self, tmp_path):
         cfg = load_config("config/sample_config.yaml")
         assert "SLAM" in cfg.cameras
