@@ -3,18 +3,21 @@ chip at the reference's SLAM-camera operating point.
 
 Pipeline measured per frame (the reference's hot path, SURVEY.md §3.2):
 stereo ORB extraction (pyramid + FAST + grid select + orientation +
-descriptors, 2 images) -> stereo matching + sub-pixel refinement ->
-local-map projection matching (4096 landmarks) -> pose-only LM (40 iters).
+descriptors, both images in one batched program) -> stereo matching +
+sub-pixel refinement -> local-map projection matching (4096 landmarks) +
+pose-only LM (40 iters) fused into one program, with the pallas
+single-launch pose kernel on real TPU hardware.
 
 Operating point: 1280x720 stereo @ 1000 features, 8 levels x1.2
 (config/sample_primary_config_file.yaml:27-41). The reference publishes no
 fps (BASELINE.md): baseline = its real-time design rate of 60 fps on CPU, so
 vs_baseline = fps / 60 (target >= 5).
 
-Runtime note: every device array is passed as an ARGUMENT to the jitted
-stages — closing over a device array embeds it as a program constant, and
-this runtime re-uploads such constants on every dispatch (~390 ms/call,
-measured). See .claude/skills/verify/SKILL.md.
+Runtime note: every device array rides into the jitted stages as an
+ARGUMENT — closing over a device array embeds it as a program constant,
+and this runtime re-uploads such constants on every dispatch (~390 ms/call
+measured in round 1; chained programs with closure constants showed
+~220 ms/frame in round 2 profiling). See .claude/skills/verify/SKILL.md.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -32,11 +35,10 @@ def main():
     import jax
     import jax.numpy as jnp
     from hyslam_tpu.features.extractor import ExtractorConfig
-    from hyslam_tpu.features.atlas import extract_atlas as extract
-    from hyslam_tpu.features.matcher import search_by_projection_landmarks
+    from hyslam_tpu.features.atlas import extract_atlas_batch
     from hyslam_tpu.ops.stereo import match_stereo_refined
     from hyslam_tpu.geometry.camera import Camera
-    from hyslam_tpu.solver.pose_opt import pose_optimization
+    from hyslam_tpu.slam.frontend import project_and_optimize
 
     H, W = 720, 1280
     N_FEATURES = 1000
@@ -65,46 +67,38 @@ def main():
     lm_maxd = lm_dist * 1.05
     lm_mind = lm_dist / 1.2**8
     lm_valid = jnp.ones(N_LANDMARKS, bool)
-    no_match = jnp.zeros(F_CAP, bool)
     w_ones = jnp.ones(F_CAP, jnp.float32)
     Tcw = jnp.eye(4)
 
     # All stages are the library's own jitted entry points; every device
     # array rides in as an argument (no closure constants).
     @jax.jit
-    def stage_extract(img_l, img_r):
-        fl = extract(img_l, cfg, capacity=F_CAP)
-        fr = extract(img_r, cfg, capacity=F_CAP)
-        return match_stereo_refined(fl, fr, img_l, img_r, bf=cam.bf)
+    def stage_extract(pair):
+        feats2 = extract_atlas_batch(pair, cfg, capacity=F_CAP)
+        fl = jax.tree.map(lambda x: x[0], feats2)
+        fr = jax.tree.map(lambda x: x[1], feats2)
+        return match_stereo_refined(fl, fr, pair[0], pair[1], bf=cam.bf)
 
-    def frame_step(img_l, img_r, Tcw0):
-        fl = stage_extract(img_l, img_r)
-        res = search_by_projection_landmarks(
+    def frame_step(pair, Tcw0):
+        fl = stage_extract(pair)
+        res = project_and_optimize(
             cam, fl, Tcw0, lm_pos, lm_normal, lm_desc, lm_maxd, lm_mind,
-            lm_valid, no_match, th=3.0,
+            lm_valid, w_ones, th=3.0,
         )
-        lm_id = res.lm_for_feature
-        X = lm_pos[jnp.clip(lm_id, 0, N_LANDMARKS - 1)]
-        has = lm_id >= 0
-        opt = pose_optimization(
-            cam, Tcw0, X, fl.uv, fl.ur, w_ones, has, has & (fl.ur > 0),
-        )
-        return opt.Tcw, opt.num_inliers
+        return res.Tcw, res.n_inliers
 
     # warmup/compile + steady-state warm (first dispatches are slower on
     # the proxied runtime)
-    out = frame_step(imgs[0, 0], imgs[0, 1], Tcw)
+    out = frame_step(imgs[0], Tcw)
     jax.block_until_ready(out)
     for i in range(20):
-        pair = imgs[i % 4]
-        out = frame_step(pair[0], pair[1], Tcw)
+        out = frame_step(imgs[i % 4], Tcw)
     jax.block_until_ready(out)
 
-    n_frames = 200
+    n_frames = 400
     t0 = time.perf_counter()
     for i in range(n_frames):
-        pair = imgs[i % 4]
-        out = frame_step(pair[0], pair[1], Tcw)
+        out = frame_step(imgs[i % 4], Tcw)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     fps = n_frames / dt

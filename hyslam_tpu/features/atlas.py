@@ -157,3 +157,20 @@ def extract_atlas(img: jnp.ndarray, cfg: ExtractorConfig, capacity: int
                   ) -> FrameFeatures:
     h, w = img.shape
     return _extract_atlas_hw(img, cfg, capacity, h, w)
+
+
+@partial(jax.jit, static_argnames=("cfg", "capacity", "h", "w"))
+def _extract_atlas_batch_hw(imgs: jnp.ndarray, cfg: ExtractorConfig,
+                            capacity: int, h: int, w: int) -> FrameFeatures:
+    return jax.vmap(lambda im: _extract_atlas_hw(im, cfg, capacity, h, w))(imgs)
+
+
+def extract_atlas_batch(imgs: jnp.ndarray, cfg: ExtractorConfig,
+                        capacity: int) -> FrameFeatures:
+    """Batched extraction: [B, H, W] -> FrameFeatures with leading batch
+    axis. One compiled program runs all images' dense stages together —
+    ~2x frame-rate over per-image calls for a stereo pair (the reference
+    extracts left/right in two threads, ImageProcessing.cpp:82-84; here the
+    batch axis is the data parallelism)."""
+    b, h, w = imgs.shape
+    return _extract_atlas_batch_hw(imgs, cfg, capacity, h, w)

@@ -42,6 +42,10 @@ class FeatureFamily(NamedTuple):
     distance_matrix: Callable  # ([Q,8]u32, [F,8]u32) -> [Q,F]
     th_high: float     # first-pass match acceptance (TH_HIGH)
     th_low: float      # strict acceptance (TH_LOW)
+    extract_batch: Callable = None  # (imgs [B,H,W], capacity) ->
+                       # batched FrameFeatures; one program for the whole
+                       # batch (stereo pairs; the reference's two extractor
+                       # threads, ImageProcessing.cpp:82-84)
 
 
 @partial(jax.jit, static_argnames=("cfg", "capacity"))
@@ -92,11 +96,13 @@ def make_family(cfg: ExtractorConfig) -> FeatureFamily:
     selection, System.cc:78-85)."""
     name = getattr(cfg, "family", "ORB").upper()
     if name == "ORB":
-        from hyslam_tpu.features.atlas import extract_atlas
+        from hyslam_tpu.features.atlas import extract_atlas, extract_atlas_batch
 
         return FeatureFamily(
             name="ORB",
             extract=lambda img, capacity: extract_atlas(img, cfg, capacity),
+            extract_batch=lambda imgs, capacity: extract_atlas_batch(
+                imgs, cfg, capacity),
             distance_matrix=hamming_matrix,
             th_high=100.0, th_low=50.0,
         )
@@ -104,7 +110,15 @@ def make_family(cfg: ExtractorConfig) -> FeatureFamily:
         return FeatureFamily(
             name="SURF",
             extract=lambda img, capacity: extract_hessian(img, cfg, capacity),
+            extract_batch=lambda imgs, capacity: _extract_hessian_batch(
+                imgs, cfg, capacity),
             distance_matrix=hamming_matrix,
             th_high=100.0, th_low=50.0,
         )
     raise ValueError(f"unknown feature family {name!r} (ORB | SURF)")
+
+
+@partial(jax.jit, static_argnames=("cfg", "capacity"))
+def _extract_hessian_batch(imgs: jnp.ndarray, cfg: ExtractorConfig,
+                           capacity: int) -> FrameFeatures:
+    return jax.vmap(lambda im: extract_hessian(im, cfg, capacity))(imgs)

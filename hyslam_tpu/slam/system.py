@@ -18,6 +18,7 @@ import os
 from typing import Dict, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hyslam_tpu.core.frame import FrameFeatures
@@ -76,9 +77,12 @@ class System:
         il = to_grayscale(jnp.asarray(img_left))
         ir = to_grayscale(jnp.asarray(img_right))
         F = self._capacity(cc)
-        extract = self._families[camera].extract
-        fl = extract(il, capacity=F)
-        fr = extract(ir, capacity=F)
+        fam = self._families[camera]
+        # both images through ONE batched program (the reference's two
+        # extractor threads, ImageProcessing.cpp:82-84)
+        feats2 = fam.extract_batch(jnp.stack([il, ir]), capacity=F)
+        fl = jax.tree.map(lambda x: x[0], feats2)
+        fr = jax.tree.map(lambda x: x[1], feats2)
         fl = match_stereo_refined(fl, fr, il, ir, bf=cam.bf)
         self._maybe_dump_frame(camera, il, fl)
         return self.track_features(fl, timestamp, camera, frame_id,
