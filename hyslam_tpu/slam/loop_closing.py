@@ -130,7 +130,43 @@ class LoopCloser:
         )
         if int(n_inl) < MIN_INLIERS_SIM3:
             return False, None, int(n_inl)
-        return True, g, int(n_inl)
+        n_total = int(n_inl) + self._guided_harvest(ms, kf_id, cand, g)
+        if n_total < MIN_MATCHES_TOTAL:
+            return False, None, n_total
+        return True, g, n_total
+
+    def _guided_harvest(self, ms: MapState, kf_id: int, cand: int, g_cl):
+        """SearchByProjection(Scw) (LoopClosing.cc:343-419): project the
+        loop-side landmarks (candidate KF + its covisible neighbors) through
+        the corrected Sim3 into the current keyframe and count additional
+        matches; the loop is accepted only when sim3-inliers + harvested
+        matches reach MIN_MATCHES_TOTAL (the reference's >= 40 gate)."""
+        from hyslam_tpu.features.matcher import search_by_projection_landmarks
+
+        covis = np.asarray(ms.covis)
+        kf_lm = np.asarray(jax.vmap(lambda r: M.resolve_landmarks(ms, r))(
+            ms.kf.lm_id))
+        rows = kf_lm[cand][kf_lm[cand] >= 0]
+        for nb in np.nonzero(covis[cand] >= 15)[0][:10]:
+            rows = np.concatenate([rows, kf_lm[nb][kf_lm[nb] >= 0]])
+        rows = np.unique(rows)[: ms.F]
+        padded = np.full(ms.F, -1, np.int32)
+        padded[: len(rows)] = rows
+        rowsj = jnp.asarray(padded)
+        rc = jnp.clip(rowsj, 0, ms.L - 1)
+        row_ok = (rowsj >= 0) & ms.lm.valid[rc] & ~ms.lm.bad[rc]
+
+        # world -> current-cam through the corrected Sim3 (scaled SE3)
+        S_cw = sim3.compose(g_cl, sim3.from_se3(ms.kf.Tcw[cand]))
+        T_scw = sim3.to_se3_scaled(S_cw)
+        feats = M.kf_features(ms, kf_id)
+        res = search_by_projection_landmarks(
+            self.cam, feats, T_scw,
+            ms.lm.pos[rc], ms.lm.normal[rc], ms.lm.desc[rc],
+            ms.lm.max_dist[rc], ms.lm.min_dist[rc], row_ok,
+            already_matched=ms.kf.lm_id[kf_id] >= 0, th=7.5,
+        )
+        return int(res.n_matches)
 
     # -- correction ---------------------------------------------------------
 
