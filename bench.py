@@ -5,8 +5,11 @@ Pipeline measured per frame (the reference's hot path, SURVEY.md §3.2):
 stereo ORB extraction (pyramid + FAST + grid select + orientation +
 descriptors, both images in one batched program) -> stereo matching +
 sub-pixel refinement -> local-map projection matching (4096 landmarks) +
-pose-only LM (40 iters) fused into one program, with the pallas
-single-launch pose kernel on real TPU hardware.
+pose-only LM (40 iters), ALL fused into ONE device program per frame
+(slam.frontend.track_stereo_frame), with the pallas single-launch pose
+kernel on real TPU hardware. One dispatch per frame: on the proxied
+runtime dispatch costs ~1 ms, so going from 2 programs to 1 nearly
+doubles throughput over round 1.
 
 Operating point: 1280x720 stereo @ 1000 features, 8 levels x1.2
 (config/sample_primary_config_file.yaml:27-41). The reference publishes no
@@ -35,10 +38,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from hyslam_tpu.features.extractor import ExtractorConfig
-    from hyslam_tpu.features.atlas import extract_atlas_batch
-    from hyslam_tpu.ops.stereo import match_stereo_refined
     from hyslam_tpu.geometry.camera import Camera
-    from hyslam_tpu.slam.frontend import project_and_optimize
+    from hyslam_tpu.slam.frontend import track_stereo_frame
 
     H, W = 720, 1280
     N_FEATURES = 1000
@@ -67,23 +68,14 @@ def main():
     lm_maxd = lm_dist * 1.05
     lm_mind = lm_dist / 1.2**8
     lm_valid = jnp.ones(N_LANDMARKS, bool)
-    w_ones = jnp.ones(F_CAP, jnp.float32)
     Tcw = jnp.eye(4)
 
-    # All stages are the library's own jitted entry points; every device
-    # array rides in as an argument (no closure constants).
-    @jax.jit
-    def stage_extract(pair):
-        feats2 = extract_atlas_batch(pair, cfg, capacity=F_CAP)
-        fl = jax.tree.map(lambda x: x[0], feats2)
-        fr = jax.tree.map(lambda x: x[1], feats2)
-        return match_stereo_refined(fl, fr, pair[0], pair[1], bf=cam.bf)
-
+    # The whole frame runs as ONE jitted program; every device array rides
+    # in as an argument (no closure constants).
     def frame_step(pair, Tcw0):
-        fl = stage_extract(pair)
-        res = project_and_optimize(
-            cam, fl, Tcw0, lm_pos, lm_normal, lm_desc, lm_maxd, lm_mind,
-            lm_valid, w_ones, th=3.0,
+        res, _ = track_stereo_frame(
+            cam, cfg, F_CAP, pair, Tcw0, lm_pos, lm_normal, lm_desc,
+            lm_maxd, lm_mind, lm_valid, th=3.0,
         )
         return res.Tcw, res.n_inliers
 

@@ -21,8 +21,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from hyslam_tpu.core.frame import level_inv_sigma2
+from hyslam_tpu.features.atlas import extract_atlas_batch
+from hyslam_tpu.features.extractor import ExtractorConfig
 from hyslam_tpu.features.matcher import search_by_projection_landmarks
 from hyslam_tpu.geometry.camera import Camera
+from hyslam_tpu.ops.stereo import match_stereo_refined
 from hyslam_tpu.solver.pose_opt import pose_optimization_fast
 
 
@@ -71,3 +75,43 @@ def project_and_optimize(
         n_matches=res.n_matches,
         n_inliers=opt.num_inliers,
     )
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "capacity", "th", "ratio"))
+def track_stereo_frame(
+    cam: Camera,
+    cfg: ExtractorConfig,
+    capacity: int,
+    pair: jnp.ndarray,         # [2,H,W] grayscale stereo pair
+    Tcw0: jnp.ndarray,         # [4,4] pose prediction
+    lm_pos: jnp.ndarray,       # [L,3] local-map landmark positions
+    lm_normal: jnp.ndarray,    # [L,3] viewing normals
+    lm_desc: jnp.ndarray,      # [L,8] u32 descriptors
+    lm_max_dist: jnp.ndarray,  # [L] scale-invariance bounds
+    lm_min_dist: jnp.ndarray,
+    lm_valid: jnp.ndarray,     # [L]
+    th: float = 3.0,
+    ratio: float = 0.8,
+):
+    """The ENTIRE per-frame stereo front-end as ONE device program:
+    batched ORB extraction of both images (ImageProcessing::
+    ProcessStereoImage, two extractor threads at ImageProcessing.cpp:82-84)
+    -> stereo match + sub-pixel refinement (Stereomatcher.cpp:36) ->
+    local-map projection matching (FeatureMatcher.cc:123) -> pose-only LM
+    (Optimizer.cc:48).
+
+    One dispatch per frame instead of two: on a proxied TPU runtime where
+    host->device dispatch costs ~1 ms, halving dispatches nearly doubles
+    tracked frames/s (the on-device time is ~0.36 ms at the 1280x720
+    operating point). Returns (FrontendResult, matched left features).
+    """
+    feats2 = extract_atlas_batch(pair, cfg, capacity=capacity)
+    fl = jax.tree.map(lambda x: x[0], feats2)
+    fr = jax.tree.map(lambda x: x[1], feats2)
+    fl = match_stereo_refined(fl, fr, pair[0], pair[1], bf=cam.bf)
+    inv_s2 = level_inv_sigma2()[jnp.clip(fl.level, 0, 7)]
+    res = project_and_optimize(
+        cam, fl, Tcw0, lm_pos, lm_normal, lm_desc, lm_max_dist, lm_min_dist,
+        lm_valid, inv_s2, th=th, ratio=ratio,
+    )
+    return res, fl

@@ -117,6 +117,83 @@ class LocalMapResult(NamedTuple):
     n_local_matches: jnp.ndarray
 
 
+class NormalFrameResult(NamedTuple):
+    """Everything the host state machine needs from one NORMAL-state frame,
+    produced by ONE device program. `scalars` packs the telemetry / decision
+    counters so the host syncs a single small transfer instead of one
+    blocking int() per counter."""
+
+    Tcw: jnp.ndarray          # [4,4] optimized pose
+    lm_id: jnp.ndarray        # [F] pruned associations
+    local_ref_kf: jnp.ndarray  # [] best-supported local keyframe
+    scalars: jnp.ndarray      # int32 [8]: n_motion, init_ok, n_inliers,
+                              #   n_local, n_tracked_close,
+                              #   n_nontracked_close, ok, n_kfs_in_map
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def track_normal_frame(
+    cam: Camera,
+    cur_feats,
+    timestamp,
+    traj,
+    last_Tcw: jnp.ndarray,
+    last_feats,
+    last_lm_id: jnp.ndarray,
+    ref_kf,
+    ms: MapState,
+    min_inliers,
+) -> NormalFrameResult:
+    """The whole NORMAL-state tracking frame fused into one program
+    (Tracking::_Track_, Tracking.cpp:158): constant-velocity pose prediction
+    -> motion-model track -> reference-KF fallback (lax.cond, only computed
+    on motion-model failure) -> local-map refinement -> keyframe-decision
+    counters. The host previously sequenced these as 3-4 dispatches with a
+    blocking bool()/int() sync after each; on a proxied runtime every one of
+    those syncs costs ~1 ms of round-trip latency.
+
+    min_inliers is traced (30 normally, 50 right after relocalization,
+    TrackingStateNormal / MIN_INLIERS_RELOC)."""
+    from hyslam_tpu.core import trajectory as TJ
+
+    Tcw_pred = TJ.predict_pose(traj, jnp.asarray(timestamp, jnp.float32))
+    mm = track_motion_model(
+        cam, cur_feats, Tcw_pred, last_feats, last_lm_id, ms
+    )
+
+    def keep_mm(_):
+        return mm
+
+    def fallback(_):
+        return track_reference_keyframe(cam, cur_feats, last_Tcw, ms, ref_kf)
+
+    init = jax.lax.cond(mm.ok, keep_mm, fallback, None)
+
+    lres = track_local_map(cam, cur_feats, init.Tcw, init.lm_id, ms)
+    tr = lres.track
+    ok = init.ok & (tr.n_inliers >= min_inliers)
+
+    depth = cur_feats.depth
+    has = tr.lm_id >= 0
+    close = (depth > 0) & (depth < cam.close_depth)
+    scalars = jnp.stack([
+        mm.n_inliers.astype(jnp.int32),
+        init.ok.astype(jnp.int32),
+        tr.n_inliers.astype(jnp.int32),
+        lres.n_local_matches.astype(jnp.int32),
+        (close & has).sum().astype(jnp.int32),
+        (close & ~has).sum().astype(jnp.int32),
+        ok.astype(jnp.int32),
+        ms.next_kf.astype(jnp.int32),
+    ])
+    return NormalFrameResult(
+        Tcw=tr.Tcw,
+        lm_id=tr.lm_id,
+        local_ref_kf=lres.local.ref_kf,
+        scalars=scalars,
+    )
+
+
 @partial(jax.jit, static_argnames=("cam", "min_inliers", "local_capacity"))
 def track_local_map(
     cam: Camera,

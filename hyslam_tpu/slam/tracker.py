@@ -35,11 +35,7 @@ from hyslam_tpu.slam.keyframe_policy import (
     seed_close_landmarks,
 )
 from hyslam_tpu.slam.mapper import Mapper
-from hyslam_tpu.slam.strategies import (
-    track_local_map,
-    track_motion_model,
-    track_reference_keyframe,
-)
+from hyslam_tpu.slam.strategies import TrackResult, track_normal_frame
 
 
 class State(enum.Enum):
@@ -215,50 +211,40 @@ class Tracker:
             tel.state += ">FORCED_LOSS"
             return
 
-        # initial pose estimation: motion model, fallback reference KF
-        Tcw_pred = np.asarray(TJ.predict_pose(self.traj, jnp.asarray(timestamp)))
-        res = track_motion_model(
-            self.cam, feats, jnp.asarray(Tcw_pred),
-            self.last_feats, self.last_lm_id, self.ms,
-        )
-        tel.n_motion = int(res.n_inliers)
-        if not bool(res.ok):
-            res = track_reference_keyframe(
-                self.cam, feats, jnp.asarray(self.last_Tcw), self.ms, self.ref_kf
-            )
-        if not bool(res.ok):
-            self._lose_tracking()
-            return
-
-        # refine with the local map
-        lres = track_local_map(
-            self.cam, feats, res.Tcw, res.lm_id, self.ms,
-        )
-        tr = lres.track
-        tel.n_inliers = int(tr.n_inliers)
-        tel.n_local = int(lres.n_local_matches)
+        # one fused device program for the whole frame (motion model +
+        # reference-KF fallback + local-map refinement + decision counters,
+        # Tracking::_Track_), then ONE host sync of the packed counters
         min_inl = (
             MIN_INLIERS_RELOC if self.frames_since_reloc < 30 else MIN_INLIERS_NORMAL
         )
-        if int(tr.n_inliers) < min_inl:
+        nf = track_normal_frame(
+            self.cam, feats, timestamp, self.traj,
+            jnp.asarray(self.last_Tcw), self.last_feats, self.last_lm_id,
+            self.ref_kf, self.ms, jnp.asarray(min_inl, jnp.int32),
+        )
+        (n_motion, init_ok, n_inliers, n_local, n_tracked_close,
+         n_nontracked_close, ok, n_kfs) = (int(x) for x in np.asarray(nf.scalars))
+        tel.n_motion = n_motion
+        tel.n_inliers = n_inliers
+        tel.n_local = n_local
+        if not (init_ok and ok):
             self._lose_tracking()
             return
 
-        Tcw = np.asarray(tr.Tcw)
-        self.ref_kf = int(lres.local.ref_kf)
+        tr = TrackResult(Tcw=nf.Tcw, lm_id=nf.lm_id,
+                         n_inliers=jnp.asarray(n_inliers), ok=jnp.asarray(True))
+        Tcw = np.asarray(nf.Tcw)
+        self.ref_kf = int(nf.local_ref_kf)
 
         # keyframe decision
         force = self.state == State.POSTINIT
-        depth = np.asarray(feats.depth)
-        has = np.asarray(tr.lm_id) >= 0
-        close = (depth > 0) & (depth < float(self.cam.close_depth))
         inp = KFDecisionInputs(
-            n_inliers=int(tr.n_inliers),
+            n_inliers=n_inliers,
             frame_id=frame_id,
             last_kf_frame_id=self.last_kf_frame_id,
-            n_kfs_in_map=int(np.asarray(self.ms.next_kf)),
-            n_tracked_close=int((close & has).sum()),
-            n_nontracked_close=int((close & ~has).sum()),
+            n_kfs_in_map=n_kfs,
+            n_tracked_close=n_tracked_close,
+            n_nontracked_close=n_nontracked_close,
             mapping_idle=True,
             mapping_queue_len=0,
             is_mono=self.is_mono,

@@ -88,6 +88,53 @@ def test_pose_optimization_fast_falls_back_off_tpu(rng):
     assert int(a.num_inliers) == int(b.num_inliers)
 
 
+def test_track_stereo_frame_matches_staged_pipeline(rng):
+    """The single-dispatch fused frame step (extract+stereo+match+opt in one
+    program) must produce the same result as the staged composition."""
+    from hyslam_tpu.core.frame import level_inv_sigma2
+    from hyslam_tpu.ops.stereo import match_stereo_refined
+    from hyslam_tpu.slam.frontend import track_stereo_frame
+
+    h, w = 240, 320
+    cam = SMALL_CAM
+    cfg = ExtractorConfig(n_features=200, n_levels=4)
+    F = 256
+    pts = make_world(rng, 150, extent=(4.0, 3.0, 10.0), z_min=3.0)
+    img_l, _, _ = render_world(cam, np.eye(4, dtype=np.float32), pts)
+    Tr = np.eye(4, dtype=np.float32)
+    Tr[0, 3] = -cam.bf / cam.fx  # right camera: baseline along +x
+    img_r, _, _ = render_world(cam, Tr, pts)
+    pair = jnp.asarray(np.stack([img_l, img_r]).astype(np.float32))
+
+    L = 512
+    lm_pos = jnp.asarray(np.pad(pts, ((0, L - len(pts)), (0, 0))).astype(np.float32))
+    dist = jnp.maximum(jnp.linalg.norm(lm_pos, axis=-1), 1e-3)
+    lm_normal = lm_pos / dist[:, None]
+    lm_desc = jnp.asarray(rng.integers(0, 2**32, (L, 8), dtype=np.uint32))
+    lm_valid = jnp.arange(L) < len(pts)
+
+    res_f, fl_f = track_stereo_frame(
+        cam, cfg, F, pair, jnp.eye(4), lm_pos, lm_normal, lm_desc,
+        dist * 1.1, dist / 1.2**8, lm_valid,
+    )
+
+    feats2 = extract_atlas_batch(pair, cfg, capacity=F)
+    fl = jax.tree.map(lambda x: x[0], feats2)
+    fr = jax.tree.map(lambda x: x[1], feats2)
+    fl = match_stereo_refined(fl, fr, pair[0], pair[1], bf=cam.bf)
+    inv_s2 = level_inv_sigma2()[jnp.clip(fl.level, 0, 7)]
+    res_s = project_and_optimize(
+        cam, fl, jnp.eye(4), lm_pos, lm_normal, lm_desc,
+        dist * 1.1, dist / 1.2**8, lm_valid, inv_s2,
+    )
+    np.testing.assert_allclose(np.asarray(res_f.Tcw), np.asarray(res_s.Tcw),
+                               atol=1e-6)
+    assert int(res_f.n_matches) == int(res_s.n_matches)
+    assert int(res_f.n_inliers) == int(res_s.n_inliers)
+    np.testing.assert_allclose(np.asarray(fl_f.ur), np.asarray(fl.ur),
+                               atol=1e-5)
+
+
 def test_project_and_optimize_recovers_pose(rng):
     """Fused match+optimize converges to the true pose from a perturbed
     initial guess, matching the unfused strategy composition."""
