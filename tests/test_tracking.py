@@ -88,6 +88,62 @@ class TestStereoTracking:
         # trajectory still covers the whole run
         assert int(tracker.traj.size) >= 28
 
+    def test_track_normal_frame_matches_staged(self, rng):
+        """The fused NORMAL-state program (strategies.track_normal_frame)
+        must reproduce the staged motion-model -> ref-KF fallback ->
+        local-map composition it replaced in Tracker._do_normal."""
+        from hyslam_tpu.slam.strategies import (
+            track_local_map,
+            track_motion_model,
+            track_normal_frame,
+            track_reference_keyframe,
+        )
+
+        tracker, Ts = run_sequence(rng, n_frames=8)
+        assert tracker.state in (State.NORMAL, State.POSTINIT)
+        # one more frame continuing the same motion
+        delta = np.asarray(se3.exp(
+            jnp.asarray([0, 0.004, 0, 0, 0, -0.12], dtype=jnp.float32)))
+        T_next = (delta @ Ts[-1]).astype(np.float32)
+        pts = make_world(np.random.default_rng(0), 1500,
+                         extent=(10.0, 7.0, 60.0), z_min=2.0)
+        descs = np.random.default_rng(1).integers(
+            0, 2**32, (1500, 8), dtype=np.uint32)
+        feats, _ = synth_frame_features(DEFAULT_CAM, T_next, pts, descs, rng,
+                                        F=512)
+        ts = 0.8
+
+        nf = track_normal_frame(
+            DEFAULT_CAM, feats, ts, tracker.traj,
+            jnp.asarray(tracker.last_Tcw), tracker.last_feats,
+            tracker.last_lm_id, tracker.ref_kf, tracker.ms,
+            jnp.asarray(30, jnp.int32),
+        )
+
+        Tcw_pred = TJ.predict_pose(tracker.traj, jnp.asarray(ts))
+        mm = track_motion_model(DEFAULT_CAM, feats, Tcw_pred,
+                                tracker.last_feats, tracker.last_lm_id,
+                                tracker.ms)
+        init = mm if bool(mm.ok) else track_reference_keyframe(
+            DEFAULT_CAM, feats, jnp.asarray(tracker.last_Tcw), tracker.ms,
+            tracker.ref_kf)
+        lres = track_local_map(DEFAULT_CAM, feats, init.Tcw, init.lm_id,
+                               tracker.ms)
+
+        np.testing.assert_allclose(np.asarray(nf.Tcw),
+                                   np.asarray(lres.track.Tcw), atol=1e-6)
+        assert np.array_equal(np.asarray(nf.lm_id),
+                              np.asarray(lres.track.lm_id))
+        s = [int(x) for x in np.asarray(nf.scalars)]
+        assert s[0] == int(mm.n_inliers)
+        assert s[1] == int(init.ok)
+        assert s[2] == int(lres.track.n_inliers)
+        assert s[3] == int(lres.n_local_matches)
+        assert s[6] == int(init.ok and
+                           int(lres.track.n_inliers) >= 30)
+        assert s[7] == int(np.asarray(tracker.ms.next_kf))
+        assert int(nf.local_ref_kf) == int(lres.local.ref_kf)
+
     def test_trajectory_reanchoring(self, rng):
         tracker, Ts = run_sequence(rng, n_frames=25)
         traj = TJ.refresh(
