@@ -67,3 +67,18 @@ def to_grayscale(img: jnp.ndarray) -> jnp.ndarray:
         return img.astype(jnp.float32)
     w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
     return jnp.einsum("hwc,c->hw", img.astype(jnp.float32), w)
+
+
+def preprocess_image(img: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
+    """ImageProcessing::PreProcessImg (ImageProcessing.cpp:118): grayscale
+    conversion + optional pre-scaling (the Imaging camera runs at scale 0.5
+    of its 2704x2028 native resolution,
+    config/sample_primary_config_file.yaml:43-71)."""
+    gray = to_grayscale(img)
+    if scale != 1.0:
+        h, w = gray.shape
+        gray = jax.image.resize(
+            gray, (max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)),
+            method="bilinear",
+        )
+    return gray

@@ -26,7 +26,7 @@ from hyslam_tpu.features.bow import PlaceRecognizer, train_vocabulary
 from hyslam_tpu.features.factory import make_family
 from hyslam_tpu.io.config import SystemConfig
 from hyslam_tpu.io import export as EXP
-from hyslam_tpu.ops.pyramid import to_grayscale
+from hyslam_tpu.ops.pyramid import preprocess_image
 from hyslam_tpu.ops.stereo import match_stereo_refined
 from hyslam_tpu.slam.loop_closing import LoopCloser
 from hyslam_tpu.slam.tracker import State, Tracker
@@ -74,8 +74,8 @@ class System:
         GPS/IMU/depth readings to any keyframe made from this frame."""
         cc = self.config.cameras[camera]
         cam = self.cameras[camera]
-        il = to_grayscale(jnp.asarray(img_left))
-        ir = to_grayscale(jnp.asarray(img_right))
+        il = preprocess_image(jnp.asarray(img_left), cam.scale)
+        ir = preprocess_image(jnp.asarray(img_right), cam.scale)
         F = self._capacity(cc)
         fam = self._families[camera]
         # both images through ONE batched program (the reference's two
@@ -94,7 +94,8 @@ class System:
         while the tracker is initializing, the 3x-feature "init" extractor
         of the per-camera trio is used (ImageProcessing.cpp:28-37,49-54)."""
         cc = self.config.cameras[camera]
-        gray = to_grayscale(jnp.asarray(img))
+        gray = preprocess_image(jnp.asarray(img),
+                                self.cameras[camera].scale)
         fam = self._families[camera]
         if (self.trackers[camera].state == State.INITIALIZE
                 and cc.init_feature_factor > 1):

@@ -175,3 +175,18 @@ class TestStereo:
         errs = np.asarray(errs)
         assert len(errs) > 20
         assert np.median(errs) < 0.1
+
+
+def test_preprocess_image_scale():
+    """PreProcessImg analog: grayscale + pre-scaling (the Imaging camera
+    runs at scale 0.5, config/sample_primary_config_file.yaml:43-71)."""
+    import jax.numpy as jnp
+    from hyslam_tpu.ops.pyramid import preprocess_image
+
+    rgb = np.zeros((64, 96, 3), np.float32)
+    rgb[..., 1] = 100.0
+    out = preprocess_image(jnp.asarray(rgb), scale=0.5)
+    assert out.shape == (32, 48)
+    np.testing.assert_allclose(np.asarray(out), 58.7, atol=0.2)
+    full = preprocess_image(jnp.asarray(rgb), scale=1.0)
+    assert full.shape == (64, 96)
