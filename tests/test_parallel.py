@@ -40,3 +40,38 @@ class TestDistributedBA:
         mesh = make_mesh(4)
         res = distributed_bundle_adjustment(prob, mesh, n_iters=2, chunk=20)
         assert np.isfinite(float(res.cost))
+
+
+def test_extract_cameras_sharded_matches_unsharded(rng):
+    """Camera-axis-sharded extraction (parallel.multicam) must equal the
+    single-device batched program."""
+    import jax.numpy as jnp
+    from hyslam_tpu.features.atlas import extract_atlas_batch
+    from hyslam_tpu.features.extractor import ExtractorConfig
+    from hyslam_tpu.parallel.mesh import make_mesh
+    from hyslam_tpu.parallel.multicam import extract_cameras_sharded
+
+    cfg = ExtractorConfig(n_features=64, n_levels=3)
+    imgs = rng.uniform(0, 255, (8, 96, 128)).astype(np.float32)
+    mesh = make_mesh(8)
+    out_s = extract_cameras_sharded(jnp.asarray(imgs), cfg, capacity=64,
+                                    mesh=mesh)
+    out_r = extract_atlas_batch(jnp.asarray(imgs), cfg, capacity=64)
+    np.testing.assert_allclose(np.asarray(out_s.uv), np.asarray(out_r.uv),
+                               atol=1e-5)
+    assert np.array_equal(np.asarray(out_s.desc), np.asarray(out_r.desc))
+    assert np.array_equal(np.asarray(out_s.valid), np.asarray(out_r.valid))
+
+
+def test_extract_cameras_sharded_rejects_indivisible(rng):
+    import jax.numpy as jnp
+    import pytest
+    from hyslam_tpu.features.extractor import ExtractorConfig
+    from hyslam_tpu.parallel.mesh import make_mesh
+    from hyslam_tpu.parallel.multicam import extract_cameras_sharded
+
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError):
+        extract_cameras_sharded(
+            jnp.zeros((3, 64, 64)), ExtractorConfig(n_features=32, n_levels=2),
+            capacity=32, mesh=mesh)
