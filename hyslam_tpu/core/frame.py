@@ -38,6 +38,14 @@ def level_inv_sigma2(n_levels=DEFAULT_N_LEVELS, scale=DEFAULT_SCALE_FACTOR):
     return 1.0 / level_sigma2(n_levels, scale)
 
 
+def feature_inv_sigma2(level, n_levels=DEFAULT_N_LEVELS,
+                       scale=DEFAULT_SCALE_FACTOR):
+    """Per-feature information weight from pyramid level [..] -> [..].
+    Clips to the configured level count so SURF-style families (1.4 factor)
+    or deeper pyramids get correct weights (ADVICE r2)."""
+    return level_inv_sigma2(n_levels, scale)[jnp.clip(level, 0, n_levels - 1)]
+
+
 class FrameFeatures(NamedTuple):
     """Extracted features of one image, padded to capacity F.
 

@@ -22,6 +22,14 @@ from hyslam_tpu.slam.mapper import MapperParams
 
 @dataclass
 class CameraConfig:
+    """Per-camera calibration block.
+
+    fx/fy/cx/cy/bf/width/height are specified at the camera's NATIVE
+    resolution (exactly like the reference's YAML, e.g. fx=1829 @
+    2704x2028 with scale 0.5); when scale != 1 the `camera()` accessor
+    multiplies the calibration by scale so it matches the pre-scaled
+    images produced by preprocess_image (Camera.cpp:54-90)."""
+
     name: str = "SLAM"
     fx: float = 450.0
     fy: float = 450.0
@@ -46,10 +54,14 @@ class CameraConfig:
     def camera(self) -> Camera:
         import jax.numpy as jnp
 
+        # Calibration is stored at native resolution; scale it to the
+        # working (pre-scaled) resolution, matching Camera::loadData
+        # (Camera.cpp:54-90). bf = baseline*fx scales with fx.
+        s = float(self.scale)
         return Camera(
-            fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
-            width=self.width, height=self.height,
-            bf=0.0 if self.mono else self.bf,
+            fx=self.fx * s, fy=self.fy * s, cx=self.cx * s, cy=self.cy * s,
+            width=int(round(self.width * s)), height=int(round(self.height * s)),
+            bf=0.0 if self.mono else self.bf * s,
             th_depth=self.th_depth,
             Tcam=None if self.Tcam is None else jnp.asarray(self.Tcam, jnp.float32),
             scale=self.scale, fps=self.fps,

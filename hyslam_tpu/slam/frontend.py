@@ -9,8 +9,9 @@ compiled program with every device array passed as an argument, which is
 how the bench and the pipeline front-end call them.
 
 Measured on one TPU v5e chip at the reference's SLAM operating point
-(1280x720 stereo, 1000 features, 4096-landmark local map): extraction
-0.26 ms (batched pair) + match+optimize 0.10 ms chained ~= 0.36 ms/frame.
+(1280x720 stereo, 1000 features, 4096-landmark local map), bench round 2
+(BENCH_r02.json): ~0.19 ms/frame for the fused track_stereo_frame program
+(~5200 frames/s; stage split extraction ~0.18 ms, match+LM ~0.02 ms).
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from hyslam_tpu.core.frame import level_inv_sigma2
+from hyslam_tpu.core.frame import feature_inv_sigma2
 from hyslam_tpu.features.atlas import extract_atlas_batch
 from hyslam_tpu.features.extractor import ExtractorConfig
 from hyslam_tpu.features.matcher import search_by_projection_landmarks
@@ -109,7 +110,7 @@ def track_stereo_frame(
     fl = jax.tree.map(lambda x: x[0], feats2)
     fr = jax.tree.map(lambda x: x[1], feats2)
     fl = match_stereo_refined(fl, fr, pair[0], pair[1], bf=cam.bf)
-    inv_s2 = level_inv_sigma2()[jnp.clip(fl.level, 0, 7)]
+    inv_s2 = feature_inv_sigma2(fl.level, cfg.n_levels, cfg.scale_factor)
     res = project_and_optimize(
         cam, fl, Tcw0, lm_pos, lm_normal, lm_desc, lm_max_dist, lm_min_dist,
         lm_valid, inv_s2, th=th, ratio=ratio,

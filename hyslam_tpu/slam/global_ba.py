@@ -10,7 +10,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from hyslam_tpu.core.frame import level_inv_sigma2
+from hyslam_tpu.core.frame import feature_inv_sigma2
 from hyslam_tpu.core import mapstate as M
 from hyslam_tpu.core.mapstate import MapState
 from hyslam_tpu.geometry.camera import Camera
@@ -22,9 +22,11 @@ from hyslam_tpu.solver.ba import (
 )
 
 
-@partial(jax.jit, static_argnames=("cam", "tie_active"))
+@partial(jax.jit, static_argnames=("cam", "tie_active", "n_levels",
+                                   "scale_factor"))
 def build_global_problem(ms: MapState, cam: Camera,
-                         tie_active: bool = False) -> BAProblem:
+                         tie_active: bool = False, n_levels: int = 8,
+                         scale_factor: float = 1.2) -> BAProblem:
     """Full-map BAProblem using arena indices directly (K slots = arena
     slots; invalid/bad entries masked via kf_fixed / lm_valid).
 
@@ -44,7 +46,7 @@ def build_global_problem(ms: MapState, cam: Camera,
     uv = ms.kf.uv[obs_kf, obs_feat]
     ur = ms.kf.ur[obs_kf, obs_feat]
     lvl = ms.kf.level[obs_kf, obs_feat]
-    inv_s2 = level_inv_sigma2()[jnp.clip(lvl, 0, 7)]
+    inv_s2 = feature_inv_sigma2(lvl, n_levels, scale_factor)
 
     cams = CamArrays(
         fx=jnp.full((K,), cam.fx), fy=jnp.full((K,), cam.fy),
@@ -83,7 +85,8 @@ def build_global_problem(ms: MapState, cam: Camera,
 
 
 def run_global_ba(ms: MapState, cam: Camera, n_iters: int = 20,
-                  chunk: int = 512, mesh=None, sensors=None, opt_info=None):
+                  chunk: int = 512, mesh=None, sensors=None, opt_info=None,
+                  n_levels: int = 8, scale_factor: float = 1.2):
     """Optimize everything; returns (ms, final cost). With a mesh, runs the
     landmark-sharded distributed solver (psum Schur reduction).
 
@@ -95,7 +98,8 @@ def run_global_ba(ms: MapState, cam: Camera, n_iters: int = 20,
     priors = build_pose_priors(ms, sensors=sensors, opt=opt_info)
     tie_active = (priors is not None
                   and bool(np.asarray(priors.tie_valid).any()))
-    prob = build_global_problem(ms, cam, tie_active=tie_active)
+    prob = build_global_problem(ms, cam, tie_active=tie_active,
+                                n_levels=n_levels, scale_factor=scale_factor)
     if priors is not None:
         prob = prob._replace(priors=priors)
     if mesh is None:

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hyslam_tpu.core.frame import level_inv_sigma2
+from hyslam_tpu.core.frame import feature_inv_sigma2
 from hyslam_tpu.core import mapstate as M
 from hyslam_tpu.core.mapstate import MapState
 from hyslam_tpu.features.matcher import (
@@ -301,9 +301,11 @@ def fuse_landmarks(ms: MapState, kf_id: int, cam: Camera, params: MapperParams):
 # LocalBundleAdjustmentJob (optional)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cam", "max_local_kf", "max_lm"))
+@partial(jax.jit, static_argnames=("cam", "max_local_kf", "max_lm",
+                                   "n_levels", "scale_factor"))
 def _gather_local_ba(ms: MapState, kf_id, cam: Camera,
-                     max_local_kf: int = 32, max_lm: int = 4096):
+                     max_local_kf: int = 32, max_lm: int = 4096,
+                     n_levels: int = 8, scale_factor: float = 1.2):
     """Assemble a BAProblem for the covisibility neighborhood of kf_id:
     local KFs (1-hop covis + self), their landmarks, and fixed observer KFs
     (LocalBundleAdjustment::FindLocalKFs/FindLocalMapPoints/FindFixedKFs).
@@ -376,7 +378,7 @@ def _gather_local_ba(ms: MapState, kf_id, cam: Camera,
     uv = ms.kf.uv[kf_rows, obs_feat]
     ur = ms.kf.ur[kf_rows, obs_feat]
     lvl = ms.kf.level[kf_rows, obs_feat]
-    inv_s2 = level_inv_sigma2()[jnp.clip(lvl, 0, 7)]
+    inv_s2 = feature_inv_sigma2(lvl, n_levels, scale_factor)
 
     cams = CamArrays(
         fx=jnp.full((KL,), cam.fx), fy=jnp.full((KL,), cam.fy),
@@ -456,13 +458,15 @@ def _slot_priors(ms: MapState, sensors, opt_info, kf_of_slot, slot_used):
 
 def local_bundle_adjustment(ms: MapState, kf_id: int, cam: Camera,
                             max_local_kf: int = 32, max_lm: int = 4096,
-                            sensors=None, opt_info=None):
+                            sensors=None, opt_info=None,
+                            n_levels: int = 8, scale_factor: float = 1.2):
     """LocalBundleAdjustment::Run: two-phase robust BA over the covisibility
     neighborhood; outlier observations are erased from the map afterwards.
     With sensors/opt_info, sensor + submap-tiepoint pose priors join the
     problem exactly as in the global path."""
     prob, kf_of_slot, slot_used, slot_movable, lm_rows, lm_ok = \
-        _gather_local_ba(ms, kf_id, cam, max_local_kf, max_lm)
+        _gather_local_ba(ms, kf_id, cam, max_local_kf, max_lm,
+                         n_levels, scale_factor)
     priors = _slot_priors(ms, sensors, opt_info, kf_of_slot, slot_used)
     if priors is not None:
         prob = prob._replace(priors=priors)
@@ -542,10 +546,13 @@ class Mapper:
     up), 1 = +triangulation/fusion, 2 = full incl. local BA + KF culling."""
 
     def __init__(self, cam: Camera, params: MapperParams | None = None,
-                 is_mono: bool = False):
+                 is_mono: bool = False, n_levels: int = 8,
+                 scale_factor: float = 1.2):
         self.cam = cam
         self.params = params or MapperParams()
         self.is_mono = is_mono
+        self.n_levels = n_levels
+        self.scale_factor = scale_factor
         self.kf_count = 0
 
     def integrate_keyframe(self, ms: MapState, kf_id: int,
@@ -568,7 +575,8 @@ class Mapper:
             stats["fuse_added"] = n_add
         if budget_level >= 2 and self.kf_count > 2:
             ms, cost = local_bundle_adjustment(
-                ms, kf_id, self.cam, sensors=sensors, opt_info=opt_info)
+                ms, kf_id, self.cam, sensors=sensors, opt_info=opt_info,
+                n_levels=self.n_levels, scale_factor=self.scale_factor)
             stats["ba_cost"] = cost
             if cull_kfs and not self.is_mono:
                 ms, n_cull = cull_keyframes(ms, kf_id, self.cam, p)

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from hyslam_tpu.core import mapstate as M
-from hyslam_tpu.core.frame import level_inv_sigma2
+from hyslam_tpu.core.frame import feature_inv_sigma2
 from hyslam_tpu.core.mapstate import MapState, visible_scope
 from hyslam_tpu.estimators.pnp import pnp_ransac_refined
 from hyslam_tpu.features.matcher import match_descriptors
@@ -47,7 +47,8 @@ def rank_candidates(frame_desc, frame_valid, ms: MapState, n_candidates=5,
     return [int(k) for k in order[:n_candidates] if scores[k] > 0.05]
 
 
-def try_relocalize(cam: Camera, feats, ms: MapState, recognizer=None):
+def try_relocalize(cam: Camera, feats, ms: MapState, recognizer=None,
+                   n_levels: int = 8, scale_factor: float = 1.2):
     """Returns (ok, Tcw, lm_id, n_inliers)."""
     cands = rank_candidates(feats.desc, feats.valid, ms, recognizer=recognizer)
     F = ms.F
@@ -63,7 +64,7 @@ def try_relocalize(cam: Camera, feats, ms: MapState, recognizer=None):
         lm = jnp.where(idx >= 0, kf_lm[jnp.clip(idx, 0, F - 1)], -1)
         pair_ok = lm >= 0
         X = ms.lm.pos[jnp.clip(lm, 0, ms.L - 1)]
-        inv_s2 = level_inv_sigma2()[jnp.clip(feats.level, 0, 7)]
+        inv_s2 = feature_inv_sigma2(feats.level, n_levels, scale_factor)
         T, inl, n_pnp = pnp_ransac_refined(
             cam, X, feats.uv, inv_s2, pair_ok, jax.random.PRNGKey(k),
         )

@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from hyslam_tpu.core.frame import Frame, level_inv_sigma2
+from hyslam_tpu.core.frame import Frame, feature_inv_sigma2
 from hyslam_tpu.core.mapstate import MapState, resolve_landmarks
 from hyslam_tpu.features.matcher import (
     match_descriptors,
@@ -35,13 +35,14 @@ class TrackResult(NamedTuple):
 
 
 def _optimize_frame_pose(cam: Camera, feats, lm_id, lm_pos_table, Tcw0,
-                         min_inliers: int):
+                         min_inliers: int, n_levels: int = 8,
+                         scale_factor: float = 1.2):
     """Shared tail: pose-only LM on current associations + outlier pruning
     (the pattern at TrackMotionModel.cpp:45-80)."""
     F = feats.capacity
     has = lm_id >= 0
     X = lm_pos_table
-    inv_s2 = level_inv_sigma2()[jnp.clip(feats.level, 0, 7)]
+    inv_s2 = feature_inv_sigma2(feats.level, n_levels, scale_factor)
     stereo = has & (feats.ur > 0)
     res = pose_optimization_fast(
         cam, Tcw0, X, feats.uv, feats.ur, inv_s2, has, stereo,
@@ -53,7 +54,8 @@ def _optimize_frame_pose(cam: Camera, feats, lm_id, lm_pos_table, Tcw0,
     )
 
 
-@partial(jax.jit, static_argnames=("cam", "min_inliers"))
+@partial(jax.jit,
+         static_argnames=("cam", "min_inliers", "n_levels", "scale_factor"))
 def track_motion_model(
     cam: Camera,
     cur_feats,
@@ -63,6 +65,8 @@ def track_motion_model(
     ms: MapState,
     th: float = 7.0,
     min_inliers: int = 20,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
 ) -> TrackResult:
     """TrackMotionModel::track: constant-velocity predicted pose ->
     projection match vs last frame -> pose optimization. The reference
@@ -81,11 +85,13 @@ def track_motion_model(
     lm_id = jnp.where(n_n >= 20, lm_n, lm_w)
     pos_table = ms.lm.pos[jnp.clip(lm_id, 0, ms.L - 1)]
     return _optimize_frame_pose(
-        cam, cur_feats, lm_id, pos_table, Tcw_pred, min_inliers
+        cam, cur_feats, lm_id, pos_table, Tcw_pred, min_inliers,
+        n_levels, scale_factor,
     )
 
 
-@partial(jax.jit, static_argnames=("cam", "min_inliers"))
+@partial(jax.jit,
+         static_argnames=("cam", "min_inliers", "n_levels", "scale_factor"))
 def track_reference_keyframe(
     cam: Camera,
     cur_feats,
@@ -93,6 +99,8 @@ def track_reference_keyframe(
     ms: MapState,
     ref_kf,
     min_inliers: int = 10,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
 ) -> TrackResult:
     """TrackReferenceKeyFrame::track: descriptor-match the current frame
     against the reference keyframe's landmark-bearing features (>=15 matches
@@ -108,7 +116,8 @@ def track_reference_keyframe(
     lm_id = jnp.where(idx_b >= 0, kf_lm[jnp.clip(idx_b, 0, ms.F - 1)], -1)
     lm_id = jnp.where(n >= 15, lm_id, jnp.full_like(lm_id, -1))
     pos_table = ms.lm.pos[jnp.clip(lm_id, 0, ms.L - 1)]
-    return _optimize_frame_pose(cam, cur_feats, lm_id, pos_table, Tcw0, min_inliers)
+    return _optimize_frame_pose(cam, cur_feats, lm_id, pos_table, Tcw0,
+                                min_inliers, n_levels, scale_factor)
 
 
 class LocalMapResult(NamedTuple):
@@ -131,7 +140,7 @@ class NormalFrameResult(NamedTuple):
                               #   n_nontracked_close, ok, n_kfs_in_map
 
 
-@partial(jax.jit, static_argnames=("cam",))
+@partial(jax.jit, static_argnames=("cam", "n_levels", "scale_factor"))
 def track_normal_frame(
     cam: Camera,
     cur_feats,
@@ -143,6 +152,8 @@ def track_normal_frame(
     ref_kf,
     ms: MapState,
     min_inliers,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
 ) -> NormalFrameResult:
     """The whole NORMAL-state tracking frame fused into one program
     (Tracking::_Track_, Tracking.cpp:158): constant-velocity pose prediction
@@ -158,29 +169,37 @@ def track_normal_frame(
 
     Tcw_pred = TJ.predict_pose(traj, jnp.asarray(timestamp, jnp.float32))
     mm = track_motion_model(
-        cam, cur_feats, Tcw_pred, last_feats, last_lm_id, ms
+        cam, cur_feats, Tcw_pred, last_feats, last_lm_id, ms,
+        n_levels=n_levels, scale_factor=scale_factor,
     )
 
     def keep_mm(_):
         return mm
 
     def fallback(_):
-        return track_reference_keyframe(cam, cur_feats, last_Tcw, ms, ref_kf)
+        return track_reference_keyframe(
+            cam, cur_feats, last_Tcw, ms, ref_kf,
+            n_levels=n_levels, scale_factor=scale_factor,
+        )
 
     init = jax.lax.cond(mm.ok, keep_mm, fallback, None)
 
-    lres = track_local_map(cam, cur_feats, init.Tcw, init.lm_id, ms)
+    lres = track_local_map(cam, cur_feats, init.Tcw, init.lm_id, ms,
+                           n_levels=n_levels, scale_factor=scale_factor)
     tr = lres.track
     ok = init.ok & (tr.n_inliers >= min_inliers)
 
     depth = cur_feats.depth
     has = tr.lm_id >= 0
     close = (depth > 0) & (depth < cam.close_depth)
+    # mask the refine-stage counters when initial pose estimation failed:
+    # the staged code never ran TrackLocalMap on that path, so telemetry
+    # must not report its counts for a lost frame (ADVICE r2)
     scalars = jnp.stack([
         mm.n_inliers.astype(jnp.int32),
         init.ok.astype(jnp.int32),
-        tr.n_inliers.astype(jnp.int32),
-        lres.n_local_matches.astype(jnp.int32),
+        jnp.where(init.ok, tr.n_inliers, 0).astype(jnp.int32),
+        jnp.where(init.ok, lres.n_local_matches, 0).astype(jnp.int32),
         (close & has).sum().astype(jnp.int32),
         (close & ~has).sum().astype(jnp.int32),
         ok.astype(jnp.int32),
@@ -194,7 +213,8 @@ def track_normal_frame(
     )
 
 
-@partial(jax.jit, static_argnames=("cam", "min_inliers", "local_capacity"))
+@partial(jax.jit, static_argnames=("cam", "min_inliers", "local_capacity",
+                                   "n_levels", "scale_factor"))
 def track_local_map(
     cam: Camera,
     cur_feats,
@@ -204,6 +224,8 @@ def track_local_map(
     th: float = 1.0,
     min_inliers: int = 30,
     local_capacity: int = 4096,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
 ) -> LocalMapResult:
     """TrackLocalMap::track: build the local map from the frame's current
     matches, harvest its landmarks, projection-match the still-unmatched
@@ -229,5 +251,6 @@ def track_local_map(
     )
     lm_id = jnp.where(already, cur_lm_id, new_lm)
     pos_table = ms.lm.pos[jnp.clip(lm_id, 0, ms.L - 1)]
-    tr = _optimize_frame_pose(cam, cur_feats, lm_id, pos_table, Tcw0, min_inliers)
+    tr = _optimize_frame_pose(cam, cur_feats, lm_id, pos_table, Tcw0,
+                              min_inliers, n_levels, scale_factor)
     return LocalMapResult(track=tr, local=local, n_local_matches=res.n_matches)

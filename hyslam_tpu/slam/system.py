@@ -61,6 +61,8 @@ class System:
                 is_mono=cc.mono,
                 policy=cc.policy,
                 opt_info=self.config.optimizer,
+                n_levels=cc.extractor.n_levels,
+                scale_factor=cc.extractor.scale_factor,
             )
 
     # ------------------------------------------------------------------ input
@@ -168,19 +170,23 @@ class System:
                 tracker.ms = ms
                 if closed:
                     # reference spawns a GBA thread after CorrectLoop
+                    ex = self.config.cameras[camera].extractor
                     tracker.ms, _ = run_global_ba(
                         tracker.ms, self.cameras[camera], n_iters=10,
                         sensors=tracker.sensors,
                         opt_info=self.config.optimizer,
+                        n_levels=ex.n_levels, scale_factor=ex.scale_factor,
                     )
                     map_moved = True
         # periodic GBA in non-realtime mode (Mapping::RunGlobalBA cadence)
         self._kfs_since_gba += 1
         if (not self.config.optimizer.realtime
                 and self._kfs_since_gba >= self.config.optimizer.gba_interval):
+            ex = self.config.cameras[camera].extractor
             tracker.ms, _ = run_global_ba(
                 tracker.ms, self.cameras[camera],
                 sensors=tracker.sensors, opt_info=self.config.optimizer,
+                n_levels=ex.n_levels, scale_factor=ex.scale_factor,
             )
             self._kfs_since_gba = 0
             map_moved = True
@@ -369,6 +375,8 @@ class System:
                 cam_id=list(self.config.cameras).index(name),
                 caps=self.config.caps, is_mono=cc.mono, policy=cc.policy,
                 opt_info=self.config.optimizer,
+                n_levels=cc.extractor.n_levels,
+                scale_factor=cc.extractor.scale_factor,
             )
         self.loop_closers.clear()
         self._close_logs()

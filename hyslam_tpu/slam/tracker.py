@@ -82,6 +82,8 @@ class Tracker:
                               # (TrackingStateNormal.cpp:78-82)
     opt_info: object = None   # OptimizerInfo for sensor-prior weights in
                               # local BA (optParams, Mapping.cpp)
+    n_levels: int = 8         # pyramid model of this camera's extractor
+    scale_factor: float = 1.2  # (FeatureExtractorSettings sigma2 model)
 
     def __post_init__(self):
         from hyslam_tpu.core.sensordata import empty_sensor_arena
@@ -90,7 +92,9 @@ class Tracker:
         self.sensors = empty_sensor_arena(self.caps.K)
         self._pending_sensor = None   # SensorData for the current frame
         self.traj = TJ.empty_trajectory()
-        self.mapper = Mapper(self.cam, is_mono=self.is_mono)
+        self.mapper = Mapper(self.cam, is_mono=self.is_mono,
+                             n_levels=self.n_levels,
+                             scale_factor=self.scale_factor)
         self.state = State.INITIALIZE
         self.last_feats: Optional[FrameFeatures] = None
         self.last_lm_id = None
@@ -221,6 +225,7 @@ class Tracker:
             self.cam, feats, timestamp, self.traj,
             jnp.asarray(self.last_Tcw), self.last_feats, self.last_lm_id,
             self.ref_kf, self.ms, jnp.asarray(min_inl, jnp.int32),
+            n_levels=self.n_levels, scale_factor=self.scale_factor,
         )
         (n_motion, init_ok, n_inliers, n_local, n_tracked_close,
          n_nontracked_close, ok, n_kfs) = (int(x) for x in np.asarray(nf.scalars))
@@ -341,7 +346,8 @@ class Tracker:
         # descriptor-set similarity without it
         ok, Tcw, lm_id, n = try_relocalize(
             self.cam, feats, self.ms,
-            recognizer=getattr(self, "recognizer", None))
+            recognizer=getattr(self, "recognizer", None),
+            n_levels=self.n_levels, scale_factor=self.scale_factor)
         tel.n_inliers = n
         if not ok:
             return
