@@ -154,3 +154,105 @@ class TestStereoTracking:
         est = np.asarray(traj.Tcw[:n])
         errs = [pose_error(est[i], Ts[i])[1] for i in range(n)]
         assert np.sqrt(np.mean(np.square(errs))) < 0.05
+
+
+class TestMonoPlanarInit:
+    """The homography branch of the mono initializer (ReconstructH,
+    MonoEstimator.cpp:585-744): a planar scene makes the fundamental model
+    degenerate, so initialization must go through the Faugeras homography
+    decomposition (VERDICT r2 Missing #1 — the flagship planar-seafloor
+    start)."""
+
+    @staticmethod
+    def _planar_world(rng, n=1200, z0=6.0, tilt=0.25):
+        xy = rng.uniform(-6, 6, (n, 2)).astype(np.float32)
+        z = z0 + tilt * xy[:, 0]
+        return np.concatenate([xy, z[:, None]], -1).astype(np.float32)
+
+    def test_model_selection_prefers_h_on_plane(self, rng):
+        import jax
+        from hyslam_tpu.estimators.two_view import (
+            ransac_fundamental, ransac_homography)
+        from hyslam_tpu.geometry.camera import project
+
+        pts = self._planar_world(rng)
+        T2 = np.asarray(se3.exp(jnp.asarray(
+            [0.0, 0.03, 0.0, -0.6, 0.05, 0.0], jnp.float32)))
+        uv1, z1 = project(DEFAULT_CAM, se3.apply(jnp.eye(4), jnp.asarray(pts)))
+        uv2, z2 = project(DEFAULT_CAM, se3.apply(jnp.asarray(T2), jnp.asarray(pts)))
+        uv1, uv2 = np.asarray(uv1), np.asarray(uv2)
+        vis = ((np.asarray(z1) > 0.2) & (np.asarray(z2) > 0.2)
+               & (uv1 >= 0).all(-1) & (uv2 >= 0).all(-1)
+               & (uv1[:, 0] < 640) & (uv1[:, 1] < 480)
+               & (uv2[:, 0] < 640) & (uv2[:, 1] < 480))
+        m = int(vis.sum())
+        assert m > 100
+        F = 512
+        p1 = np.zeros((F, 2), np.float32)
+        p2 = np.zeros((F, 2), np.float32)
+        p1[:m] = uv1[vis][:F] + rng.normal(0, 0.3, (min(m, F), 2))
+        p2[:m] = uv2[vis][:F] + rng.normal(0, 0.3, (min(m, F), 2))
+        valid = jnp.asarray(np.arange(F) < m)
+        key = jax.random.PRNGKey(0)
+        _, inlH, sH = ransac_homography(
+            jnp.asarray(p1), jnp.asarray(p2), valid, key)
+        _, inlF, sF = ransac_fundamental(
+            jnp.asarray(p1), jnp.asarray(p2), valid, key)
+        rh = float(sH) / (float(sH) + float(sF))
+        assert rh > 0.40            # homography selected (planar scene)
+        assert int(inlH.sum()) > 0.9 * m
+
+    def test_reconstruct_h_recovers_motion(self, rng):
+        from hyslam_tpu.estimators.two_view import two_view_reconstruct
+        from hyslam_tpu.geometry.camera import project
+
+        pts = self._planar_world(rng)
+        T2 = np.asarray(se3.exp(jnp.asarray(
+            [0.0, 0.03, 0.0, -0.6, 0.05, 0.0], jnp.float32)))
+        uv1, z1 = project(DEFAULT_CAM, se3.apply(jnp.eye(4), jnp.asarray(pts)))
+        uv2, z2 = project(DEFAULT_CAM, se3.apply(jnp.asarray(T2), jnp.asarray(pts)))
+        uv1, uv2 = np.asarray(uv1), np.asarray(uv2)
+        vis = ((np.asarray(z1) > 0.2) & (np.asarray(z2) > 0.2)
+               & (uv1 >= 0).all(-1) & (uv2 >= 0).all(-1)
+               & (uv1[:, 0] < 640) & (uv1[:, 1] < 480)
+               & (uv2[:, 0] < 640) & (uv2[:, 1] < 480))
+        m = int(vis.sum())
+        F = 512
+        p1 = np.zeros((F, 2), np.float32)
+        p2 = np.zeros((F, 2), np.float32)
+        k = min(m, F)
+        p1[:k] = uv1[vis][:k] + rng.normal(0, 0.3, (k, 2))
+        p2[:k] = uv2[vis][:k] + rng.normal(0, 0.3, (k, 2))
+        idx = np.full(F, -1, np.int32)
+        idx[:k] = np.arange(k)
+        ok, T21, X, good = two_view_reconstruct(
+            DEFAULT_CAM, jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(idx))
+        assert ok
+        T21 = np.asarray(T21)
+        Re = T21[:3, :3] @ T2[:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(Re) - 1) / 2, -1, 1)))
+        assert ang < 0.5            # rotation within half a degree
+        tdir = T21[:3, 3] / np.linalg.norm(T21[:3, 3])
+        tgt = T2[:3, 3] / np.linalg.norm(T2[:3, 3])
+        assert float(tdir @ tgt) > 0.999  # translation direction (scale-free)
+        assert int(np.asarray(good).sum()) > 0.9 * k
+
+    def test_mono_tracker_initializes_on_plane(self, rng):
+        pts = self._planar_world(rng)
+        descs = rng.integers(0, 2**32, (len(pts), 8), dtype=np.uint32)
+        tr = Tracker(cam=DEFAULT_CAM, caps=MapCaps(K=32, L=8192, F=512, O=8),
+                     is_mono=True)
+        T0 = np.eye(4, dtype=np.float32)
+        T1 = np.asarray(se3.exp(jnp.asarray(
+            [0.0, 0.0, 0.0, -0.8, 0.0, 0.0], jnp.float32)))
+        f0, _ = synth_frame_features(DEFAULT_CAM, T0, pts, descs, rng, F=512)
+        f0 = f0._replace(ur=jnp.full_like(f0.ur, -1.0),
+                         depth=jnp.full_like(f0.depth, -1.0))
+        f1, _ = synth_frame_features(DEFAULT_CAM, T1, pts, descs, rng, F=512)
+        f1 = f1._replace(ur=jnp.full_like(f1.ur, -1.0),
+                         depth=jnp.full_like(f1.depth, -1.0))
+        tr.track(f0, 0.0, 0)
+        assert tr.state == State.INITIALIZE
+        tr.track(f1, 0.1, 1)
+        assert tr.state == State.POSTINIT   # planar init succeeded (H-branch)
+        assert int(np.asarray(tr.ms.next_lm)) > 100
