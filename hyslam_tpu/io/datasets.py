@@ -163,6 +163,109 @@ class TumRgbd:
             yield i, ts, img, dimg / self.DEPTH_FACTOR
 
 
+class EurocMav:
+    """EuRoC MAV reader (ASL folder layout): `mav0/cam{0,1}/data.csv`
+    timestamp->filename lists, `mav0/cam{0,1}/sensor.yaml` intrinsics +
+    body->camera extrinsics, `mav0/state_groundtruth_estimate0/data.csv`
+    body poses. Stereo pairs are associated by nearest timestamp within
+    `max_dt`. Note EuRoC raw images are unrectified; like the reference
+    (Camera.h distortion comment) rectification is assumed done upstream —
+    intrinsics here are the raw pinhole part."""
+
+    def __init__(self, root: str, max_dt: float = 0.005):
+        import yaml
+
+        mav = os.path.join(root, "mav0")
+        self.cam0_dir = os.path.join(mav, "cam0", "data")
+        self.cam1_dir = os.path.join(mav, "cam1", "data")
+        self.cam0 = self._read_csv_list(os.path.join(mav, "cam0", "data.csv"))
+        self.cam1 = self._read_csv_list(os.path.join(mav, "cam1", "data.csv"))
+        with open(os.path.join(mav, "cam0", "sensor.yaml")) as f:
+            s0 = yaml.safe_load(f)
+        with open(os.path.join(mav, "cam1", "sensor.yaml")) as f:
+            s1 = yaml.safe_load(f)
+        fu, fv, cu, cv = s0["intrinsics"]
+        w, h = s0["resolution"]
+        self.T_BS0 = np.asarray(s0["T_BS"]["data"],
+                                np.float64).reshape(4, 4)   # body->sensor? (sensor in body)
+        self.T_BS1 = np.asarray(s1["T_BS"]["data"], np.float64).reshape(4, 4)
+        # stereo baseline from the two rig extrinsics (T_BS maps sensor
+        # coords into body coords in the ASL convention)
+        baseline = float(np.linalg.norm(
+            self.T_BS0[:3, 3] - self.T_BS1[:3, 3]))
+        self.calib = KittiCalib(fx=float(fu), fy=float(fv), cx=float(cu),
+                                cy=float(cv), bf=float(fu) * baseline,
+                                width=int(w), height=int(h))
+        gt_path = os.path.join(mav, "state_groundtruth_estimate0", "data.csv")
+        self.gt = self._read_gt(gt_path) if os.path.exists(gt_path) else None
+        # stereo association by nearest timestamp
+        self.pairs = []
+        t1 = np.asarray([t for t, _ in self.cam1])
+        for i, (t0, _) in enumerate(self.cam0):
+            j = int(np.argmin(np.abs(t1 - t0)))
+            if abs(t1[j] - t0) <= max_dt:
+                self.pairs.append((i, j))
+
+    @staticmethod
+    def _read_csv_list(path):
+        out = []
+        with open(path) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                ts_ns, fn = line.strip().split(",")[:2]
+                out.append((int(ts_ns) * 1e-9, fn.strip()))
+        return out
+
+    @staticmethod
+    def _read_gt(path):
+        """Returns (timestamps [N], T_WB [N,4,4]) body-to-world poses."""
+        from hyslam_tpu.geometry import so3
+        import jax.numpy as jnp
+
+        ts, poses = [], []
+        with open(path) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                v = [float(x) for x in line.split(",")[:8]]
+                ts.append(v[0] * 1e-9)
+                T = np.eye(4, dtype=np.float64)
+                # q_RS is (w, x, y, z) in the ASL csv
+                qw, qx, qy, qz = v[4], v[5], v[6], v[7]
+                T[:3, :3] = np.asarray(so3.mat_from_quat(
+                    jnp.asarray([qw, qx, qy, qz], jnp.float32)))
+                T[:3, 3] = v[1:4]
+                poses.append(T)
+        return np.asarray(ts), np.asarray(poses, np.float32)
+
+    def gt_Tcw_at(self, t: float):
+        """Ground-truth world->cam0 pose at time t (nearest gt sample)."""
+        if self.gt is None:
+            return None
+        ts, T_WB = self.gt
+        i = int(np.argmin(np.abs(ts - t)))
+        T_WC = T_WB[i].astype(np.float64) @ self.T_BS0
+        return np.linalg.inv(T_WC).astype(np.float32)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def frames(self, start=0, stop=None) -> Iterator[StereoFrame]:
+        stop = stop or len(self.pairs)
+        for k in range(start, stop):
+            i, j = self.pairs[k]
+            t0, f0 = self.cam0[i]
+            _, f1 = self.cam1[j]
+            yield StereoFrame(
+                img_left=_imread_gray(os.path.join(self.cam0_dir, f0)),
+                img_right=_imread_gray(os.path.join(self.cam1_dir, f1)),
+                timestamp=t0,
+                frame_id=k,
+                gt_Tcw=self.gt_Tcw_at(t0),
+            )
+
+
 def synthetic_stereo_sequence(rng, cam, n_frames=100, step=0.15,
                               yaw_rate=0.003, n_points=3000,
                               extent=(15.0, 8.0, 80.0)):

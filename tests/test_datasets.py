@@ -141,3 +141,79 @@ class TestEvaluate:
         T = self._traj()
         t_err, r_err = rpe(T, T)
         assert t_err < 1e-6 and r_err < 1e-6
+
+
+class TestEuroc:
+    @staticmethod
+    def _make_euroc(root, n=4, w=48, h=32):
+        import yaml
+
+        rng = np.random.default_rng(0)
+        for cam in ("cam0", "cam1"):
+            os.makedirs(os.path.join(root, "mav0", cam, "data"))
+        os.makedirs(os.path.join(root, "mav0",
+                                 "state_groundtruth_estimate0"))
+        fu, fv, cu, cv, baseline = 458.654, 457.296, 367.215, 248.375, 0.11
+        for ci, cam in enumerate(("cam0", "cam1")):
+            T_BS = np.eye(4)
+            T_BS[0, 3] = baseline * ci   # cam1 offset along body x
+            with open(os.path.join(root, "mav0", cam, "sensor.yaml"),
+                      "w") as f:
+                yaml.safe_dump({
+                    "intrinsics": [fu, fv, cu, cv],
+                    "resolution": [w, h],
+                    "T_BS": {"data": T_BS.ravel().tolist()},
+                }, f)
+            with open(os.path.join(root, "mav0", cam, "data.csv"), "w") as f:
+                f.write("#timestamp [ns],filename\n")
+                for i in range(n):
+                    ts_ns = 1403636579763555580 + i * 50_000_000
+                    # cam1 clock offset 1 ms: within the pairing tolerance
+                    if ci == 1:
+                        ts_ns += 1_000_000
+                    fn = "%d.pgm" % i
+                    f.write("%d,%s\n" % (ts_ns, fn))
+                    _write_pgm(os.path.join(root, "mav0", cam, "data", fn),
+                               rng.integers(0, 255, (h, w)))
+        with open(os.path.join(root, "mav0", "state_groundtruth_estimate0",
+                               "data.csv"), "w") as f:
+            f.write("#timestamp, p_RS_R_x [m], ...\n")
+            for i in range(n):
+                ts_ns = 1403636579763555580 + i * 50_000_000
+                # body translating +x, identity orientation (w,x,y,z)
+                f.write("%d,%f,0.0,0.0,1.0,0.0,0.0,0.0\n" % (ts_ns, 0.5 * i))
+        return fu, baseline
+
+    def test_roundtrip(self, tmp_path):
+        from hyslam_tpu.io.datasets import EurocMav
+
+        root = str(tmp_path / "euroc")
+        os.makedirs(root)
+        fu, baseline = self._make_euroc(root)
+        ds = EurocMav(root)
+        assert len(ds) == 4
+        assert abs(ds.calib.fx - fu) < 1e-3
+        assert abs(ds.calib.bf - fu * baseline) < 1e-3
+        assert (ds.calib.width, ds.calib.height) == (48, 32)
+        frames = list(ds.frames())
+        assert frames[0].img_left.shape == (32, 48)
+        # timestamps converted ns -> s and increasing by 0.05
+        assert abs(frames[1].timestamp - frames[0].timestamp - 0.05) < 1e-6
+        # gt: body at x=0.5*i, identity rotation, cam0 = body
+        # => Tcw translation is -0.5*i along x
+        T = frames[2].gt_Tcw
+        np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(T[0, 3], -1.0, atol=1e-5)
+
+    def test_unpaired_frames_dropped(self, tmp_path):
+        from hyslam_tpu.io.datasets import EurocMav
+
+        root = str(tmp_path / "euroc2")
+        os.makedirs(root)
+        self._make_euroc(root, n=3)
+        # corrupt: remove the last cam1 entry so its nearest pair is >max_dt
+        p = os.path.join(root, "mav0", "cam1", "data.csv")
+        lines = open(p).read().strip().splitlines()
+        open(p, "w").write("\n".join(lines[:-1]) + "\n")
+        ds = EurocMav(root, max_dt=0.005)
+        assert len(ds) == 2
