@@ -18,6 +18,10 @@ from hyslam_tpu.features.extractor import ExtractorConfig
 from hyslam_tpu.geometry.camera import Camera
 from hyslam_tpu.slam.keyframe_policy import KeyFramePolicyParams
 from hyslam_tpu.slam.mapper import MapperParams
+from hyslam_tpu.slam.tracking_params import (
+    TrackingParams,
+    resolve_tracking_params,
+)
 
 
 @dataclass
@@ -50,6 +54,10 @@ class CameraConfig:
                                   # ImageProcessing.cpp:28-37; capped at the
                                   # arena capacity caps.F)
     policy: KeyFramePolicyParams = field(default_factory=KeyFramePolicyParams)
+    tracking: TrackingParams = field(default_factory=TrackingParams)
+        # resolved per-camera state/strategy parameter sets (the reference's
+        # camera x state -> named-parameter-set indirection,
+        # slam_tracking_config.yaml:3-120)
 
     def camera(self) -> Camera:
         import jax.numpy as jnp
@@ -112,13 +120,22 @@ def load_config(path: str) -> SystemConfig:
     """Load a primary YAML config (see config/sample_config.yaml)."""
     with open(path) as f:
         raw = yaml.safe_load(f)
+    tracking_raw = raw.get("tracking") or {}
     cams = {}
     for name, c in (raw.get("cameras") or {}).items():
         ex = _build(ExtractorConfig, c.pop("extractor", {}) or {})
-        pol = _build(KeyFramePolicyParams, c.pop("policy", {}) or {})
+        pol_block = c.pop("policy", {}) or {}
         cc = _build(CameraConfig, {**c, "name": name})
         cc.extractor = ex
-        cc.policy = pol
+        if tracking_raw:
+            # the state/strategy indirection (Cameras/States/Strategies,
+            # slam_tracking_config.yaml); its Normal block carries the
+            # keyframe policy unless the camera sets an explicit one
+            cc.tracking = resolve_tracking_params(tracking_raw, name)
+            cc.policy = (_build(KeyFramePolicyParams, pol_block)
+                         if pol_block else cc.tracking.policy)
+        else:
+            cc.policy = _build(KeyFramePolicyParams, pol_block)
         cams[name] = cc
     cfg = SystemConfig(cameras=cams or {"SLAM": CameraConfig()})
     if "mapper" in raw:

@@ -18,7 +18,9 @@ from hyslam_tpu.estimators.pnp import pnp_ransac_refined
 from hyslam_tpu.features.matcher import match_descriptors
 from hyslam_tpu.geometry.camera import Camera
 from hyslam_tpu.slam.strategies import track_local_map
+from hyslam_tpu.slam.tracking_params import PlaceRecognitionParams
 
+# back-compat aliases; live values come from PlaceRecognitionParams
 MIN_RELOC_INLIERS = 50   # final acceptance (TrackPlaceRecognition)
 MIN_BOW_MATCHES = 15
 MIN_PNP_INLIERS = 10
@@ -48,18 +50,23 @@ def rank_candidates(frame_desc, frame_valid, ms: MapState, n_candidates=5,
 
 
 def try_relocalize(cam: Camera, feats, ms: MapState, recognizer=None,
-                   n_levels: int = 8, scale_factor: float = 1.2):
-    """Returns (ok, Tcw, lm_id, n_inliers)."""
-    cands = rank_candidates(feats.desc, feats.valid, ms, recognizer=recognizer)
+                   n_levels: int = 8, scale_factor: float = 1.2,
+                   p: PlaceRecognitionParams = PlaceRecognitionParams()):
+    """Returns (ok, Tcw, lm_id, n_inliers). Staged thresholds come from the
+    per-camera PlaceRecognition parameter set
+    (slam_tracking_config.yaml Strategies/PlaceRecognition_*)."""
+    cands = rank_candidates(feats.desc, feats.valid, ms,
+                            n_candidates=p.n_candidates,
+                            recognizer=recognizer)
     F = ms.F
     for k in cands:
         kf_lm = M.resolve_landmarks(ms, ms.kf.lm_id[k])
         idx, n = match_descriptors(
             feats.desc, feats.valid, feats.angle,
             ms.kf.desc[k], ms.kf.kp_valid[k] & (kf_lm >= 0), ms.kf.angle[k],
-            max_dist=50, ratio=0.75,
+            max_dist=p.max_descriptor_dist, ratio=p.match_nnratio_1,
         )
-        if int(n) < MIN_BOW_MATCHES:
+        if int(n) < p.n_min_matches_bow:
             continue
         lm = jnp.where(idx >= 0, kf_lm[jnp.clip(idx, 0, F - 1)], -1)
         pair_ok = lm >= 0
@@ -68,11 +75,11 @@ def try_relocalize(cam: Camera, feats, ms: MapState, recognizer=None,
         T, inl, n_pnp = pnp_ransac_refined(
             cam, X, feats.uv, inv_s2, pair_ok, jax.random.PRNGKey(k),
         )
-        if int(n_pnp) < MIN_PNP_INLIERS:
+        if int(n_pnp) < p.n_min_matches_pnp:
             continue
         lm_init = jnp.where(inl, lm, -1)
         lres = track_local_map(cam, feats, T, lm_init, ms)
-        if int(lres.track.n_inliers) >= MIN_RELOC_INLIERS:
+        if int(lres.track.n_inliers) >= p.n_min_matches_success:
             return (True, lres.track.Tcw, lres.track.lm_id,
                     int(lres.track.n_inliers))
     return False, None, None, 0

@@ -24,6 +24,12 @@ from hyslam_tpu.features.matcher import (
 )
 from hyslam_tpu.geometry.camera import Camera
 from hyslam_tpu.slam.localmap import LocalMap, build_local_map
+from hyslam_tpu.slam.tracking_params import (
+    LocalMapParams,
+    MotionModelParams,
+    ReferenceKFParams,
+    TrackingParams,
+)
 from hyslam_tpu.solver.pose_opt import pose_optimization_fast
 
 
@@ -55,7 +61,8 @@ def _optimize_frame_pose(cam: Camera, feats, lm_id, lm_pos_table, Tcw0,
 
 
 @partial(jax.jit,
-         static_argnames=("cam", "min_inliers", "n_levels", "scale_factor"))
+         static_argnames=("cam", "min_inliers", "n_levels", "scale_factor",
+                          "p"))
 def track_motion_model(
     cam: Camera,
     cur_feats,
@@ -63,26 +70,30 @@ def track_motion_model(
     last_feats,
     last_lm_id: jnp.ndarray,
     ms: MapState,
-    th: float = 7.0,
     min_inliers: int = 20,
     n_levels: int = 8,
     scale_factor: float = 1.2,
+    p: MotionModelParams = MotionModelParams(),
 ) -> TrackResult:
     """TrackMotionModel::track: constant-velocity predicted pose ->
     projection match vs last frame -> pose optimization. The reference
-    retries with a widened window (2*th) when matches < 20
-    (TrackMotionModel.cpp:40-44); both passes run unconditionally here and
-    the wide result is used only if the narrow one is weak (no host sync)."""
+    retries with a widened window (inflation_factor*th) when matches <
+    n_min_matches (TrackMotionModel.cpp:40-44); both passes run
+    unconditionally here and the wide result is used only if the narrow one
+    is weak (no host sync). Parameters are static (per-camera constants,
+    Tracking_datastructs.h TrackMotionModelParameters)."""
     last_lm_id = resolve_landmarks(ms, last_lm_id)
     last_pos = ms.lm.pos[jnp.clip(last_lm_id, 0, ms.L - 1)]
 
     lm_n, n_n = search_by_projection_frame(
-        cam, cur_feats, Tcw_pred, last_feats, last_lm_id, last_pos, th=th
+        cam, cur_feats, Tcw_pred, last_feats, last_lm_id, last_pos,
+        th=p.match_radius,
     )
     lm_w, _ = search_by_projection_frame(
-        cam, cur_feats, Tcw_pred, last_feats, last_lm_id, last_pos, th=2 * th
+        cam, cur_feats, Tcw_pred, last_feats, last_lm_id, last_pos,
+        th=p.inflation_factor * p.match_radius,
     )
-    lm_id = jnp.where(n_n >= 20, lm_n, lm_w)
+    lm_id = jnp.where(n_n >= p.n_min_matches, lm_n, lm_w)
     pos_table = ms.lm.pos[jnp.clip(lm_id, 0, ms.L - 1)]
     return _optimize_frame_pose(
         cam, cur_feats, lm_id, pos_table, Tcw_pred, min_inliers,
@@ -91,7 +102,8 @@ def track_motion_model(
 
 
 @partial(jax.jit,
-         static_argnames=("cam", "min_inliers", "n_levels", "scale_factor"))
+         static_argnames=("cam", "min_inliers", "n_levels", "scale_factor",
+                          "p"))
 def track_reference_keyframe(
     cam: Camera,
     cur_feats,
@@ -101,20 +113,22 @@ def track_reference_keyframe(
     min_inliers: int = 10,
     n_levels: int = 8,
     scale_factor: float = 1.2,
+    p: ReferenceKFParams = ReferenceKFParams(),
 ) -> TrackResult:
     """TrackReferenceKeyFrame::track: descriptor-match the current frame
-    against the reference keyframe's landmark-bearing features (>=15 matches
-    required), optimize from the last pose."""
+    against the reference keyframe's landmark-bearing features
+    (>= n_min_matches_bow required), optimize from the last pose."""
     k = jnp.clip(ref_kf, 0, ms.K - 1)
     kf_lm = resolve_landmarks(ms, ms.kf.lm_id[k])
     kf_has = kf_lm >= 0
     idx_b, n = match_descriptors(
         cur_feats.desc, cur_feats.valid, cur_feats.angle,
         ms.kf.desc[k], ms.kf.kp_valid[k] & kf_has, ms.kf.angle[k],
-        max_dist=50, ratio=0.7,
+        max_dist=p.max_descriptor_dist, ratio=p.match_nnratio,
     )
     lm_id = jnp.where(idx_b >= 0, kf_lm[jnp.clip(idx_b, 0, ms.F - 1)], -1)
-    lm_id = jnp.where(n >= 15, lm_id, jnp.full_like(lm_id, -1))
+    lm_id = jnp.where(n >= p.n_min_matches_bow, lm_id,
+                      jnp.full_like(lm_id, -1))
     pos_table = ms.lm.pos[jnp.clip(lm_id, 0, ms.L - 1)]
     return _optimize_frame_pose(cam, cur_feats, lm_id, pos_table, Tcw0,
                                 min_inliers, n_levels, scale_factor)
@@ -140,7 +154,8 @@ class NormalFrameResult(NamedTuple):
                               #   n_nontracked_close, ok, n_kfs_in_map
 
 
-@partial(jax.jit, static_argnames=("cam", "n_levels", "scale_factor"))
+@partial(jax.jit, static_argnames=("cam", "n_levels", "scale_factor",
+                                   "params"))
 def track_normal_frame(
     cam: Camera,
     cur_feats,
@@ -154,6 +169,7 @@ def track_normal_frame(
     min_inliers,
     n_levels: int = 8,
     scale_factor: float = 1.2,
+    params: TrackingParams = TrackingParams(),
 ) -> NormalFrameResult:
     """The whole NORMAL-state tracking frame fused into one program
     (Tracking::_Track_, Tracking.cpp:158): constant-velocity pose prediction
@@ -170,7 +186,8 @@ def track_normal_frame(
     Tcw_pred = TJ.predict_pose(traj, jnp.asarray(timestamp, jnp.float32))
     mm = track_motion_model(
         cam, cur_feats, Tcw_pred, last_feats, last_lm_id, ms,
-        n_levels=n_levels, scale_factor=scale_factor,
+        min_inliers=params.motion.n_min_matches,
+        n_levels=n_levels, scale_factor=scale_factor, p=params.motion,
     )
 
     def keep_mm(_):
@@ -179,13 +196,14 @@ def track_normal_frame(
     def fallback(_):
         return track_reference_keyframe(
             cam, cur_feats, last_Tcw, ms, ref_kf,
-            n_levels=n_levels, scale_factor=scale_factor,
+            n_levels=n_levels, scale_factor=scale_factor, p=params.ref_kf,
         )
 
     init = jax.lax.cond(mm.ok, keep_mm, fallback, None)
 
     lres = track_local_map(cam, cur_feats, init.Tcw, init.lm_id, ms,
-                           n_levels=n_levels, scale_factor=scale_factor)
+                           n_levels=n_levels, scale_factor=scale_factor,
+                           p=params.local_map)
     tr = lres.track
     ok = init.ok & (tr.n_inliers >= min_inliers)
 
@@ -213,24 +231,23 @@ def track_normal_frame(
     )
 
 
-@partial(jax.jit, static_argnames=("cam", "min_inliers", "local_capacity",
-                                   "n_levels", "scale_factor"))
+@partial(jax.jit, static_argnames=("cam", "min_inliers",
+                                   "n_levels", "scale_factor", "p"))
 def track_local_map(
     cam: Camera,
     cur_feats,
     Tcw0: jnp.ndarray,
     cur_lm_id: jnp.ndarray,
     ms: MapState,
-    th: float = 1.0,
     min_inliers: int = 30,
-    local_capacity: int = 4096,
     n_levels: int = 8,
     scale_factor: float = 1.2,
+    p: LocalMapParams = LocalMapParams(),
 ) -> LocalMapResult:
     """TrackLocalMap::track: build the local map from the frame's current
     matches, harvest its landmarks, projection-match the still-unmatched
     features, then optimize the pose against the enlarged association set."""
-    local = build_local_map(ms, cur_lm_id, capacity=local_capacity)
+    local = build_local_map(ms, cur_lm_id, capacity=p.local_capacity)
     already = cur_lm_id >= 0
     # exclude landmarks already matched in this frame from the search set
     Lloc = local.lm_idx.shape[0]
@@ -242,7 +259,7 @@ def track_local_map(
         cam, cur_feats, Tcw0,
         local.lm_pos, local.lm_normal, local.lm_desc,
         local.lm_max_dist, local.lm_min_dist, fresh,
-        already_matched=already, th=th,
+        already_matched=already, th=p.match_radius, ratio=p.match_nnratio,
     )
     new_lm = jnp.where(
         res.lm_for_feature >= 0,

@@ -63,6 +63,7 @@ class System:
                 opt_info=self.config.optimizer,
                 n_levels=cc.extractor.n_levels,
                 scale_factor=cc.extractor.scale_factor,
+                params=cc.tracking,
             )
 
     # ------------------------------------------------------------------ input
@@ -377,6 +378,7 @@ class System:
                 opt_info=self.config.optimizer,
                 n_levels=cc.extractor.n_levels,
                 scale_factor=cc.extractor.scale_factor,
+                params=cc.tracking,
             )
         self.loop_closers.clear()
         self._close_logs()

@@ -36,6 +36,7 @@ from hyslam_tpu.slam.keyframe_policy import (
 )
 from hyslam_tpu.slam.mapper import Mapper
 from hyslam_tpu.slam.strategies import TrackResult, track_normal_frame
+from hyslam_tpu.slam.tracking_params import TrackingParams
 
 
 class State(enum.Enum):
@@ -51,6 +52,7 @@ class State(enum.Enum):
 
 
 POSTINIT_FRAMES = 5          # TrackingStatePostInitialization hold
+# back-compat aliases; the live thresholds come from TrackingParams.normal
 MIN_INLIERS_NORMAL = 30      # TrackLocalMap success threshold
 MIN_INLIERS_RELOC = 50       # stricter right after relocalization
 
@@ -84,9 +86,19 @@ class Tracker:
                               # local BA (optParams, Mapping.cpp)
     n_levels: int = 8         # pyramid model of this camera's extractor
     scale_factor: float = 1.2  # (FeatureExtractorSettings sigma2 model)
+    params: TrackingParams = field(default_factory=TrackingParams)
+                              # per-camera state/strategy parameter sets
+                              # (Tracking_datastructs.h:32-181 via the
+                              # Cameras/States/Strategies YAML indirection)
 
     def __post_init__(self):
         from hyslam_tpu.core.sensordata import empty_sensor_arena
+
+        # fault injection configured through the params tree
+        # (reset_interval, TrackingStateNormal.cpp:78-82); the explicit
+        # Tracker.reset_interval field still wins when set
+        if not self.reset_interval and self.params.normal.reset_interval > 0:
+            self.reset_interval = self.params.normal.reset_interval
 
         self.ms: MapState = empty_map_state(self.caps)
         self.sensors = empty_sensor_arena(self.caps.K)
@@ -219,13 +231,16 @@ class Tracker:
         # reference-KF fallback + local-map refinement + decision counters,
         # Tracking::_Track_), then ONE host sync of the packed counters
         min_inl = (
-            MIN_INLIERS_RELOC if self.frames_since_reloc < 30 else MIN_INLIERS_NORMAL
+            self.params.normal.thresh_refine_postreloc
+            if self.frames_since_reloc < 30
+            else self.params.normal.thresh_refine
         )
         nf = track_normal_frame(
             self.cam, feats, timestamp, self.traj,
             jnp.asarray(self.last_Tcw), self.last_feats, self.last_lm_id,
             self.ref_kf, self.ms, jnp.asarray(min_inl, jnp.int32),
             n_levels=self.n_levels, scale_factor=self.scale_factor,
+            params=self.params,
         )
         (n_motion, init_ok, n_inliers, n_local, n_tracked_close,
          n_nontracked_close, ok, n_kfs) = (int(x) for x in np.asarray(nf.scalars))
@@ -347,7 +362,8 @@ class Tracker:
         ok, Tcw, lm_id, n = try_relocalize(
             self.cam, feats, self.ms,
             recognizer=getattr(self, "recognizer", None),
-            n_levels=self.n_levels, scale_factor=self.scale_factor)
+            n_levels=self.n_levels, scale_factor=self.scale_factor,
+            p=self.params.place_rec)
         tel.n_inliers = n
         if not ok:
             return

@@ -17,7 +17,7 @@ from helpers import DEFAULT_CAM, make_world, synth_frame_features, pose_error
 
 
 def run_sequence(rng, n_frames=40, step=0.12, yaw_rate=0.004, reset_interval=0,
-                 n_pts=1500):
+                 n_pts=1500, **tracker_kwargs):
     cam = DEFAULT_CAM
     # long corridor of points so new ones appear as the camera advances
     pts = np.concatenate(
@@ -42,6 +42,7 @@ def run_sequence(rng, n_frames=40, step=0.12, yaw_rate=0.004, reset_interval=0,
         # reference's max_KF_interval=60 is frames at its 60 fps camera (1 s);
         # this synthetic sequence runs at 10 fps
         policy=KeyFramePolicyParams(max_kf_interval=10),
+        **tracker_kwargs,
     )
     for i in range(n_frames):
         feats, _ = synth_frame_features(cam, Ts[i], pts, descs, rng, F=512)
