@@ -196,15 +196,19 @@ class PlaceRecognizer:
         order = keep[np.argsort(-acc[keep])]
         return [int(k) for k in order[:n_max]]
 
-    def detect_loop_candidates(self, desc, valid, covis, kf_id: int,
+    def detect_loop_candidates(self, desc, valid, covis_row, kf_id: int,
                                min_score: float, n_max: int = 5):
         """Loop candidates: scored above min_score (the min BoW similarity
         among the querying KF's covisible neighbors, LoopClosing.cc:119-150)
-        and not covisible with it."""
+        and not covisible with it. `covis_row` is the querying KF's row of
+        the covisibility matrix ([K]; a full [K,K] matrix also works for
+        back-compat — only row kf_id is read)."""
         s = self.scores(desc, valid)
-        cv = np.asarray(covis)
+        row = np.asarray(covis_row)
+        if row.ndim == 2:
+            row = row[kf_id]
         s[kf_id] = -1.0
-        s[cv[kf_id] > 0] = -1.0  # exclude the covisible neighborhood
+        s[row > 0] = -1.0  # exclude the covisible neighborhood
         cands = np.nonzero(s >= min_score)[0]
         order = cands[np.argsort(-s[cands])]
         return [int(k) for k in order[:n_max]]
