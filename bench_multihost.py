@@ -79,31 +79,38 @@ def run_at(n_devices: int, prob, n_iters=10, reps=3):
     return n_iters / dt, float(res.cost)
 
 
-def main():
+def main(out_path=None):
     import jax
 
     n_dev = len(jax.devices())
     prob = build_problem()
-    base_ips, cost1 = run_at(1, prob)
-    print(json.dumps({
-        "metric": "ba_iters_per_s", "devices": 1,
-        "value": round(base_ips, 2), "unit": "iters/s", "cost": cost1,
-    }))
-    if n_dev > 1:
-        ips, costN = run_at(n_dev, prob)
-        eff = ips / (base_ips * n_dev)
+    sweep = [d for d in (1, 2, 4, 8) if d <= n_dev]
+    rows, base_ips = [], None
+    for d in sweep:
+        ips, cost = run_at(d, prob)
+        if base_ips is None:
+            base_ips = ips
         row = {
-            "metric": "ba_iters_per_s", "devices": n_dev,
+            "metric": "ba_iters_per_s", "devices": d,
             "value": round(ips, 2), "unit": "iters/s",
-            "scaling_efficiency": round(eff, 3), "cost": costN,
+            "scaling_efficiency": round(ips / (base_ips * d), 3),
+            "cost": cost,
         }
-        if jax.devices()[0].platform == "cpu":
+        if d > 1 and jax.devices()[0].platform == "cpu":
             # virtual CPU devices share the same physical cores: this run
             # validates the sharded path, not real scaling (which needs
             # real chips on ICI)
             row["note"] = "virtual-device mesh; efficiency not meaningful"
+        rows.append(row)
         print(json.dumps(row))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"platform": jax.devices()[0].platform,
+                       "problem": {"K": 64, "L": 65536, "O": 8},
+                       "rows": rows}, f, indent=1)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(out_path=sys.argv[1] if len(sys.argv) > 1 else None)

@@ -26,12 +26,20 @@ from hyslam_tpu.solver.ba import (
     BAProblem,
     BAResult,
     _backsub,
-    _linearize,
+    _linearize_factors,
+    _reduced_rhs,
+    _schur_reduce_dense,
     _obs_residuals,
     _robust_cost,
     _solve_poses,
+    _solve_poses_cg,
 )
-from hyslam_tpu.solver.priors import PosePriors, linearize_priors, prior_cost
+from hyslam_tpu.solver.priors import (
+    PosePriors,
+    linearize_priors_blocks,
+    prior_cost,
+    tie_offdiag_dense,
+)
 
 
 def distributed_bundle_adjustment(
@@ -41,11 +49,20 @@ def distributed_bundle_adjustment(
     huber: bool = True,
     chunk: int = 256,
     lam0: float = 1e-4,
+    solver: str = "auto",
 ) -> BAResult:
     """LM bundle adjustment with the landmark axis sharded over mesh('lm').
 
     Requires p.lm_pos.shape[0] divisible by the 'lm' axis size. Produces the
-    same result as solver.ba.bundle_adjustment (up to reduction order)."""
+    same result as solver.ba.bundle_adjustment (up to reduction order).
+
+    solver 'dense' psums a replicated [6K,6K] reduced system per LM
+    iteration; 'cg' runs distributed matrix-free PCG where every S-product
+    psums only a [K,6] — per-iteration communication drops from O(K^2) to
+    O(K) and no device ever holds a [6K,6K] (the keyframe-scale path,
+    SURVEY §2.10 north star). 'auto' switches to cg at K >= 512."""
+    if solver == "auto":
+        solver = "cg" if p.kf_Tcw.shape[0] >= 512 else "dense"
     n_shards = mesh.shape["lm"]
     L = p.lm_pos.shape[0]
     assert L % n_shards == 0, f"L={L} not divisible by lm axis {n_shards}"
@@ -84,21 +101,36 @@ def distributed_bundle_adjustment(
 
         def step(state, _):
             kf_Tcw, lm_pos, lam, cost = state
-            Hpp, b_pose, S_red, b_red, Vinv, Wlo, b_lm, kf_idx = _linearize(
-                pl, kf_Tcw, lm_pos, lam, obs_active, huber, chunk
+            K = kf_Tcw.shape[0]
+            Hpp, b_pose, Y, yv, Vinv, Wlo, b_lm, kf_idx = _linearize_factors(
+                pl, kf_Tcw, lm_pos, lam, obs_active, huber
             )
-            # reduce the camera system over landmark shards (the collective
-            # at the heart of distributed BA)
+            # reduce the pose blocks over landmark shards
             Hpp = jax.lax.psum(Hpp, "lm")
             b_pose = jax.lax.psum(b_pose, "lm")
-            S_red = jax.lax.psum(S_red, "lm")
-            b_red = jax.lax.psum(b_red, "lm")
+            Hab = None
             if pl.priors is not None:
-                Hd_pr, Hoff_pr, b_pr = linearize_priors(kf_Tcw, pl.priors)
+                Hd_pr, b_pr, Hab = linearize_priors_blocks(kf_Tcw, pl.priors)
                 Hpp = Hpp + Hd_pr
                 b_pose = b_pose + b_pr
-                S_red = S_red - Hoff_pr
-            delta_pose = _solve_poses(Hpp, b_pose, S_red, b_red, pl.kf_fixed, lam)
+            if solver == "cg":
+                # matrix-free distributed PCG: Y stays shard-local; each
+                # S-product psums a [K,6] over ICI
+                b_red = _reduced_rhs(Y, yv, kf_idx, K)
+                delta_pose = _solve_poses_cg(
+                    Hpp, b_pose, b_red, Y, kf_idx, pl.kf_fixed, lam,
+                    priors=pl.priors, Hab=Hab, psum_axis="lm",
+                )
+            else:
+                S_red, b_red = _schur_reduce_dense(Y, yv, kf_idx, K, chunk)
+                # the [6K,6K] collective at the heart of dense distributed BA
+                S_red = jax.lax.psum(S_red, "lm")
+                b_red = jax.lax.psum(b_red, "lm")
+                if pl.priors is not None:
+                    S_red = S_red - tie_offdiag_dense(
+                        pl.priors, Hab, K, Hpp.dtype)
+                delta_pose = _solve_poses(Hpp, b_pose, S_red, b_red,
+                                          pl.kf_fixed, lam)
             delta_lm = _backsub(Vinv, Wlo, b_lm, kf_idx, delta_pose, pl.lm_valid)
 
             kf_new = se3.exp(delta_pose) @ kf_Tcw

@@ -35,7 +35,14 @@ import jax.numpy as jnp
 
 from hyslam_tpu.geometry import se3, so3
 from hyslam_tpu.solver import robust
-from hyslam_tpu.solver.priors import PosePriors, linearize_priors, prior_cost
+from hyslam_tpu.solver.priors import (
+    PosePriors,
+    linearize_priors,
+    linearize_priors_blocks,
+    prior_cost,
+    tie_offdiag_dense,
+    tie_offdiag_matvec,
+)
 
 
 class CamArrays(NamedTuple):
@@ -188,19 +195,16 @@ def _robust_cost(p: BAProblem, kf_Tcw, lm_pos, huber: bool):
     return total
 
 
-def _linearize(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bool,
-               chunk: int):
-    """Linearize all observations and reduce the landmark block.
+def _linearize_factors(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active,
+                       huber: bool):
+    """Linearize all observations and eliminate the landmark block.
 
-    Returns (Hpp [K,6,6], b_pose [K,6], S_red [6K,6K], b_red [K,6],
-    Vinv [L,3,3], Wlo [L,O,6,3], b_lm [L,3], kf_idx [L,O]).
-
-    The first four are SUMS over landmarks — in multi-device BA each shard
-    computes them for its landmark slice and they are psum'ed
-    (hyslam_tpu.parallel.dist_ba); the rest stay shard-local for
-    back-substitution."""
+    Returns (Hpp [K,6,6], b_pose [K,6], Y [L,O,6,3], y [L,3],
+    Vinv [L,3,3], Wlo [L,O,6,3], b_lm [L,3], kf_idx [L,O]), where
+    S_red = sum_l A_l A_l^T with A_{l,k} = sum_{o: kf=k} Y[l,o] — the
+    factored form consumed either densely (_schur_reduce_dense) or
+    matrix-free by the CG solve (_solve_poses_cg)."""
     K = kf_Tcw.shape[0]
-    L, O = p.obs.kf.shape
     dtype = kf_Tcw.dtype
 
     r, pc, (fx, fy, bf), T = _obs_residuals(p, kf_Tcw, lm_pos)
@@ -238,8 +242,15 @@ def _linearize(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bool,
     Wlo = jnp.einsum("lo,lori,lorj->loij", w, J_pose, J_point)      # [L,O,6,3]
     Y = Wlo @ M[:, None]                                            # [L,O,6,3]
     y = jnp.einsum("lji,lj->li", M, b_lm)                           # M^T b  [L,3]
+    return Hpp, b_pose, Y, y, Vinv, Wlo, b_lm, kf_idx
 
-    # ---- Schur reduction over landmark chunks (rank-3C MXU updates) ----
+
+def _schur_reduce_dense(Y, y, kf_idx, K: int, chunk: int):
+    """Dense Schur reduction over landmark chunks (rank-3C MXU updates).
+
+    Returns (S_red [6K,6K], b_red [K,6])."""
+    L, O = kf_idx.shape
+    dtype = Y.dtype
     n_chunks = (L + chunk - 1) // chunk
     Lp = n_chunks * chunk
     pad = Lp - L
@@ -250,12 +261,10 @@ def _linearize(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bool,
     Y_p = padL(Y).reshape(n_chunks, chunk, O, 6, 3)
     y_p = padL(y).reshape(n_chunks, chunk, 3)
     kf_p = padL(kf_idx).reshape(n_chunks, chunk, O)
-    w_any = padL((w > 0).astype(dtype)).reshape(n_chunks, chunk, O)
 
     def chunk_step(carry, inp):
         S_acc, bh_acc = carry
-        Yc, yc, kfc, wc = inp
-        Yc = Yc * wc[..., None, None]
+        Yc, yc, kfc = inp
         # scatter obs into Z[l, k, 6, 3]; at most one obs per (l, k)
         Z = jnp.zeros((chunk, K, 6, 3), dtype)
         lidx = jnp.broadcast_to(
@@ -273,8 +282,56 @@ def _linearize(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bool,
     S0 = jnp.zeros((K * 6, K * 6), dtype)
     bh0 = jnp.zeros((K, 6), dtype)
     (S_red, b_red), _ = jax.lax.scan(
-        chunk_step, (S0, bh0), (Y_p, y_p, kf_p, w_any)
+        chunk_step, (S0, bh0), (Y_p, y_p, kf_p)
     )
+    return S_red, b_red
+
+
+def _reduced_matvec(Y, kf_idx, x):
+    """Matrix-free S_red @ x for x [K,6]: t_l = sum_o Y[l,o]^T x[kf(l,o)],
+    then scatter sum_o Y[l,o] t_l back by keyframe. O(L*O) per product —
+    never materializes [6K,6K]."""
+    K = x.shape[0]
+    t = jnp.einsum("loac,loa->lc", Y, x[kf_idx])                    # [L,3]
+    u = jnp.einsum("loac,lc->loa", Y, t)                            # [L,O,6]
+    return jax.ops.segment_sum(
+        u.reshape(-1, 6), kf_idx.reshape(-1), num_segments=K
+    )
+
+
+def _reduced_rhs(Y, y, kf_idx, K: int):
+    """b_red [K,6] = sum_l A_{l,k} y_l, matrix-free."""
+    u = jnp.einsum("loac,lc->loa", Y, y)
+    return jax.ops.segment_sum(
+        u.reshape(-1, 6), kf_idx.reshape(-1), num_segments=K
+    )
+
+
+def _reduced_diag(Y, kf_idx, K: int):
+    """Block-diagonal of S_red [K,6,6] (for the block-Jacobi CG
+    preconditioner): sum over observations of Y Y^T scattered by kf."""
+    D = jnp.einsum("loac,lobc->loab", Y, Y)                         # [L,O,6,6]
+    return jax.ops.segment_sum(
+        D.reshape(-1, 6, 6), kf_idx.reshape(-1), num_segments=K
+    )
+
+
+def _linearize(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bool,
+               chunk: int):
+    """Linearize all observations and reduce the landmark block (dense form).
+
+    Returns (Hpp [K,6,6], b_pose [K,6], S_red [6K,6K], b_red [K,6],
+    Vinv [L,3,3], Wlo [L,O,6,3], b_lm [L,3], kf_idx [L,O]).
+
+    The first four are SUMS over landmarks — in multi-device BA each shard
+    computes them for its landmark slice and they are psum'ed
+    (hyslam_tpu.parallel.dist_ba); the rest stay shard-local for
+    back-substitution."""
+    K = kf_Tcw.shape[0]
+    Hpp, b_pose, Y, y, Vinv, Wlo, b_lm, kf_idx = _linearize_factors(
+        p, kf_Tcw, lm_pos, lam, obs_active, huber
+    )
+    S_red, b_red = _schur_reduce_dense(Y, y, kf_idx, K, chunk)
     return Hpp, b_pose, S_red, b_red, Vinv, Wlo, b_lm, kf_idx
 
 
@@ -301,6 +358,56 @@ def _solve_poses(Hpp, b_pose, S_red, b_red, kf_fixed, lam):
     return jnp.where(jnp.isfinite(delta_pose), delta_pose, 0.0)
 
 
+def _solve_poses_cg(Hpp, b_pose, b_red, Y, kf_idx, kf_fixed, lam,
+                    priors: PosePriors | None = None,
+                    Hab: jnp.ndarray | None = None,
+                    n_cg: int = 200, tol: float = 1e-5,
+                    psum_axis: str | None = None):
+    """Solve the reduced camera system with preconditioned CG on
+    matrix-free S-products (no [6K,6K] ever materialized) — the K >~ 1k
+    path where the dense solve becomes a memory/flops wall.
+
+    S x = Hpp_d x - S_red x (+ tiepoint off-diagonal), with S_red products
+    via _reduced_matvec. Preconditioner: block-Jacobi on the exact 6x6
+    diagonal blocks of S. With psum_axis set, Y/kf_idx are landmark-shard
+    local and every S-product psums a [K,6] — communication per CG step is
+    O(K), not O(K^2) (hyslam_tpu.parallel.dist_ba)."""
+    K = Hpp.shape[0]
+    dtype = Hpp.dtype
+    Hpp_d = Hpp + lam * jnp.eye(6, dtype=dtype) * jnp.maximum(
+        jnp.einsum("kii->k", Hpp)[:, None, None] / 6.0, 1e-6
+    )
+    free = (~kf_fixed) & (jnp.einsum("kii->k", Hpp) > 0)
+    fm = free[:, None].astype(dtype)                               # [K,1]
+
+    def psum(v):
+        return jax.lax.psum(v, psum_axis) if psum_axis else v
+
+    def S_mv(x):
+        xz = x * fm
+        out = jnp.einsum("kij,kj->ki", Hpp_d, xz) - psum(
+            _reduced_matvec(Y, kf_idx, xz))
+        if priors is not None and Hab is not None:
+            out = out + tie_offdiag_matvec(priors, Hab, xz, K)
+        # identity on fixed/unused coordinates keeps S SPD
+        return out * fm + x * (1.0 - fm)
+
+    # block-Jacobi preconditioner from the exact diagonal blocks of S
+    D = Hpp_d - psum(_reduced_diag(Y, kf_idx, K))
+    eye6 = jnp.eye(6, dtype=dtype)
+    D = jnp.where(free[:, None, None], D, eye6)
+    Dinv = jnp.linalg.inv(D)
+
+    def precond(r):
+        return jnp.einsum("kij,kj->ki", Dinv, r) * fm + r * (1.0 - fm)
+
+    bhat = (b_pose - psum(b_red)) * fm
+    delta, _ = jax.scipy.sparse.linalg.cg(
+        S_mv, bhat, M=precond, tol=tol, maxiter=n_cg
+    )
+    return jnp.where(jnp.isfinite(delta) & free[:, None], delta, 0.0)
+
+
 def _backsub(Vinv, Wlo, b_lm, kf_idx, delta_pose, lm_valid):
     """Per-landmark back-substitution (shard-local)."""
     dp_obs = delta_pose[kf_idx]                                      # [L,O,6]
@@ -312,24 +419,38 @@ def _backsub(Vinv, Wlo, b_lm, kf_idx, delta_pose, lm_valid):
 
 
 def _assemble_and_solve(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bool,
-                        chunk: int):
+                        chunk: int, solver: str = "dense"):
     """One Gauss-Newton/LM linearization + Schur solve.
 
-    Returns (delta_pose [K,6], delta_lm [L,3])."""
-    Hpp, b_pose, S_red, b_red, Vinv, Wlo, b_lm, kf_idx = _linearize(
-        p, kf_Tcw, lm_pos, lam, obs_active, huber, chunk
+    solver: 'dense' materializes the [6K,6K] reduced system and solves by
+    Cholesky-class factorization; 'cg' runs matrix-free preconditioned CG
+    (memory O(K), for K >~ 1k maps). Returns (delta_pose [K,6],
+    delta_lm [L,3])."""
+    K = kf_Tcw.shape[0]
+    Hpp, b_pose, Y, y, Vinv, Wlo, b_lm, kf_idx = _linearize_factors(
+        p, kf_Tcw, lm_pos, lam, obs_active, huber
     )
+    Hab = None
     if p.priors is not None:
-        Hd_pr, Hoff_pr, b_pr = linearize_priors(kf_Tcw, p.priors)
+        Hd_pr, b_pr, Hab = linearize_priors_blocks(kf_Tcw, p.priors)
         Hpp = Hpp + Hd_pr           # damped with the reprojection diagonal
         b_pose = b_pose + b_pr
-        S_red = S_red - Hoff_pr     # S = diag(Hpp) - S_red
-    delta_pose = _solve_poses(Hpp, b_pose, S_red, b_red, p.kf_fixed, lam)
+    if solver == "cg":
+        b_red = _reduced_rhs(Y, y, kf_idx, K)
+        delta_pose = _solve_poses_cg(
+            Hpp, b_pose, b_red, Y, kf_idx, p.kf_fixed, lam,
+            priors=p.priors, Hab=Hab,
+        )
+    else:
+        S_red, b_red = _schur_reduce_dense(Y, y, kf_idx, K, chunk)
+        if p.priors is not None:
+            S_red = S_red - tie_offdiag_dense(p.priors, Hab, K, Hpp.dtype)
+        delta_pose = _solve_poses(Hpp, b_pose, S_red, b_red, p.kf_fixed, lam)
     delta_lm = _backsub(Vinv, Wlo, b_lm, kf_idx, delta_pose, p.lm_valid)
     return delta_pose, delta_lm
 
 
-@partial(jax.jit, static_argnames=("n_iters", "huber", "chunk"))
+@partial(jax.jit, static_argnames=("n_iters", "huber", "chunk", "solver"))
 def bundle_adjustment(
     p: BAProblem,
     n_iters: int = 10,
@@ -337,12 +458,17 @@ def bundle_adjustment(
     chunk: int = 256,
     obs_active: jnp.ndarray | None = None,
     lam0: float = 1e-4,
+    solver: str = "auto",
 ) -> BAResult:
     """LM bundle adjustment over (poses, landmarks).
 
     obs_active optionally masks observations (the two-phase local-BA driver
     passes the phase-1 inlier mask here, LocalBundleAdjustment.cc:113-152).
+    solver: 'dense' | 'cg' | 'auto' (auto = cg when the dense [6K,6K]
+    reduced system would exceed the small-map regime, K >= 512).
     """
+    if solver == "auto":
+        solver = "cg" if p.kf_Tcw.shape[0] >= 512 else "dense"
     if obs_active is None:
         obs_active = p.obs.valid
     else:
@@ -350,7 +476,8 @@ def bundle_adjustment(
 
     def step(state, _):
         kf_Tcw, lm_pos, lam, cost = state
-        dp, dl = _assemble_and_solve(p, kf_Tcw, lm_pos, lam, obs_active, huber, chunk)
+        dp, dl = _assemble_and_solve(p, kf_Tcw, lm_pos, lam, obs_active, huber,
+                                     chunk, solver)
         kf_new = se3.exp(dp) @ kf_Tcw
         kf_new = jnp.where(p.kf_fixed[:, None, None], kf_Tcw, kf_new)
         lm_new = lm_pos + dl
@@ -376,13 +503,16 @@ def bundle_adjustment(
     return BAResult(kf_Tcw=kf_Tcw, lm_pos=lm_pos, obs_chi2=c2, obs_inlier=inlier, cost=cost)
 
 
-def local_ba_two_phase(p: BAProblem, chunk: int = 256) -> BAResult:
+def local_ba_two_phase(p: BAProblem, chunk: int = 256,
+                       solver: str = "auto") -> BAResult:
     """The reference's local-BA schedule (LocalBundleAdjustment.cc:113-152):
     5 robust iterations, demote chi2 outliers, then 10 more iterations without
     them; caller erases outlier associations from the map afterwards."""
-    phase1 = bundle_adjustment(p, n_iters=5, huber=True, chunk=chunk)
+    phase1 = bundle_adjustment(p, n_iters=5, huber=True, chunk=chunk,
+                               solver=solver)
     p2 = p._replace(kf_Tcw=phase1.kf_Tcw, lm_pos=phase1.lm_pos)
     phase2 = bundle_adjustment(
-        p2, n_iters=10, huber=False, chunk=chunk, obs_active=phase1.obs_inlier
+        p2, n_iters=10, huber=False, chunk=chunk, obs_active=phase1.obs_inlier,
+        solver=solver,
     )
     return phase2

@@ -139,12 +139,13 @@ def prior_cost(kf_Tcw: jnp.ndarray, pr: PosePriors) -> jnp.ndarray:
     return cost.astype(dtype)
 
 
-def linearize_priors(kf_Tcw: jnp.ndarray, pr: PosePriors):
-    """Linearize all priors about kf_Tcw.
+def linearize_priors_blocks(kf_Tcw: jnp.ndarray, pr: PosePriors):
+    """Linearize all priors about kf_Tcw, keeping the tiepoint coupling as
+    sparse edge blocks (matrix-free form for the CG reduced-camera solve).
 
-    Returns (Hd [K,6,6] pose-diagonal blocks, Hoff [6K,6K] off-diagonal
-    contributions with zero diagonal blocks, b [K,6]). Hd adds into the BA
-    Hpp (so LM damping sees it); Hoff/b fold into the reduced system."""
+    Returns (Hd [K,6,6] pose-diagonal blocks, b [K,6], Hab [E,6,6] tiepoint
+    off-diagonal blocks coupling (pr.tie_a, pr.tie_b)). Hd adds into the BA
+    Hpp (so LM damping sees it)."""
     K = kf_Tcw.shape[0]
     dtype = kf_Tcw.dtype
 
@@ -161,9 +162,9 @@ def linearize_priors(kf_Tcw: jnp.ndarray, pr: PosePriors):
     )
     Hd = Hg + Hi + Hz
     b = bg + bi + bz
-    Hoff = jnp.zeros((K, 6, K, 6), dtype)
 
     E = pr.tie_a.shape[0]
+    Hab = jnp.zeros((E, 6, 6), dtype)
     if E:
         a = jnp.clip(pr.tie_a, 0, K - 1)
         bb_idx = jnp.clip(pr.tie_b, 0, K - 1)
@@ -190,6 +191,45 @@ def linearize_priors(kf_Tcw: jnp.ndarray, pr: PosePriors):
         bb_ = -jnp.einsum("edi,ed->ei", Jb, w[:, None] * r)
         Hd = Hd.at[a].add(Haa).at[bb_idx].add(Hbb)
         b = b.at[a].add(ba_).at[bb_idx].add(bb_)
+    return Hd, b, Hab
+
+
+def tie_offdiag_matvec(pr: PosePriors, Hab: jnp.ndarray, x: jnp.ndarray,
+                       K: int) -> jnp.ndarray:
+    """Apply the tiepoint off-diagonal coupling to x [K,6] without
+    materializing the [6K,6K] matrix: out[a] += Hab x[b], out[b] += Hab^T
+    x[a] for every tiepoint edge."""
+    E = pr.tie_a.shape[0]
+    if not E:
+        return jnp.zeros_like(x)
+    a = jnp.clip(pr.tie_a, 0, K - 1)
+    bb = jnp.clip(pr.tie_b, 0, K - 1)
+    xa = jnp.einsum("eij,ej->ei", Hab, x[bb])
+    xb = jnp.einsum("eji,ej->ei", Hab, x[a])
+    return jnp.zeros_like(x).at[a].add(xa).at[bb].add(xb)
+
+
+def tie_offdiag_dense(pr: PosePriors, Hab: jnp.ndarray, K: int,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    """Materialize the tiepoint off-diagonal coupling as a dense [6K,6K]
+    (zero diagonal blocks) — the dense-solve counterpart of
+    tie_offdiag_matvec."""
+    Hoff = jnp.zeros((K, 6, K, 6), dtype)
+    E = pr.tie_a.shape[0]
+    if E:
+        a = jnp.clip(pr.tie_a, 0, K - 1)
+        bb_idx = jnp.clip(pr.tie_b, 0, K - 1)
         Hoff = Hoff.at[a, :, bb_idx, :].add(Hab)
         Hoff = Hoff.at[bb_idx, :, a, :].add(Hab.transpose(0, 2, 1))
-    return Hd, Hoff.reshape(K * 6, K * 6), b
+    return Hoff.reshape(K * 6, K * 6)
+
+
+def linearize_priors(kf_Tcw: jnp.ndarray, pr: PosePriors):
+    """Linearize all priors about kf_Tcw (dense form).
+
+    Returns (Hd [K,6,6] pose-diagonal blocks, Hoff [6K,6K] off-diagonal
+    contributions with zero diagonal blocks, b [K,6]). Hd adds into the BA
+    Hpp (so LM damping sees it); Hoff/b fold into the reduced system."""
+    K = kf_Tcw.shape[0]
+    Hd, b, Hab = linearize_priors_blocks(kf_Tcw, pr)
+    return Hd, tie_offdiag_dense(pr, Hab, K, kf_Tcw.dtype), b

@@ -75,3 +75,31 @@ def test_extract_cameras_sharded_rejects_indivisible(rng):
         extract_cameras_sharded(
             jnp.zeros((3, 64, 64)), ExtractorConfig(n_features=32, n_levels=2),
             capacity=32, mesh=mesh)
+
+
+class TestDistributedBACG:
+    """Distributed matrix-free PCG: per-CG-step communication is a [K,6]
+    psum instead of the dense path's replicated [6K,6K] psum."""
+
+    def test_cg_matches_dense_dist(self, rng):
+        prob, Ts_true, _ = build_ba_problem(rng, n_lm=160)
+        mesh = make_mesh(8)
+        rd = distributed_bundle_adjustment(prob, mesh, n_iters=6, chunk=20,
+                                           solver="dense")
+        rc = distributed_bundle_adjustment(prob, mesh, n_iters=6, chunk=20,
+                                           solver="cg")
+        for k in range(len(Ts_true)):
+            rot, tr = pose_error(np.asarray(rd.kf_Tcw[k]),
+                                 np.asarray(rc.kf_Tcw[k]))
+            assert rot < 0.05 and tr < 0.01, (k, rot, tr)
+
+    def test_cg_matches_single_device(self, rng):
+        prob, Ts_true, _ = build_ba_problem(rng, n_lm=160)
+        mesh = make_mesh(8)
+        rc = distributed_bundle_adjustment(prob, mesh, n_iters=6, chunk=20,
+                                           solver="cg")
+        rs = bundle_adjustment(prob, n_iters=6, chunk=20, solver="cg")
+        for k in range(len(Ts_true)):
+            rot, tr = pose_error(np.asarray(rc.kf_Tcw[k]),
+                                 np.asarray(rs.kf_Tcw[k]))
+            assert rot < 0.05 and tr < 0.01, (k, rot, tr)

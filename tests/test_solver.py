@@ -206,3 +206,73 @@ class TestBundleAdjustment:
         np.testing.assert_allclose(
             np.asarray(ra.kf_Tcw), np.asarray(rb.kf_Tcw), atol=5e-4
         )
+
+
+class TestCGSolver:
+    """Matrix-free PCG reduced-camera solve (the K >~ 1k path where the
+    dense [6K,6K] assembly is a memory/flops wall — SURVEY §2.10)."""
+
+    def test_cg_matches_dense(self, rng):
+        prob, Ts_true, _ = build_ba_problem(rng)
+        rd = bundle_adjustment(prob, n_iters=8, chunk=64, solver="dense")
+        rc = bundle_adjustment(prob, n_iters=8, chunk=64, solver="cg")
+        for k in range(len(Ts_true)):
+            rot, tr = pose_error(np.asarray(rd.kf_Tcw[k]),
+                                 np.asarray(rc.kf_Tcw[k]))
+            assert rot < 0.02 and tr < 0.005, (k, rot, tr)
+        assert abs(float(rd.cost) - float(rc.cost)) < \
+            0.02 * float(rd.cost) + 1.0
+
+    def test_cg_with_priors_matches_dense(self, rng):
+        from hyslam_tpu.solver.priors import empty_pose_priors
+
+        prob, Ts_true, _ = build_ba_problem(rng)
+        K = prob.kf_Tcw.shape[0]
+        pr = empty_pose_priors(K, E=2)
+        # tiepoint edge 0 -> 3 from the (perturbed) current poses
+        M = np.asarray(prob.kf_Tcw[3]) @ np.linalg.inv(
+            np.asarray(prob.kf_Tcw[0]))
+        pr = pr._replace(
+            tie_a=pr.tie_a.at[0].set(0), tie_b=pr.tie_b.at[0].set(3),
+            tie_T=pr.tie_T.at[0].set(jnp.asarray(M)),
+            tie_info=pr.tie_info.at[0].set(1.0),
+            tie_valid=pr.tie_valid.at[0].set(True),
+        )
+        p = prob._replace(priors=pr)
+        rd = bundle_adjustment(p, n_iters=6, chunk=64, solver="dense")
+        rc = bundle_adjustment(p, n_iters=6, chunk=64, solver="cg")
+        for k in range(len(Ts_true)):
+            rot, tr = pose_error(np.asarray(rd.kf_Tcw[k]),
+                                 np.asarray(rc.kf_Tcw[k]))
+            assert rot < 0.05 and tr < 0.01, (k, rot, tr)
+
+    def test_cg_at_scale_smoke(self, rng):
+        """K=768 exceeds the dense auto-threshold: 'auto' must route to cg
+        and produce finite poses without materializing [6K,6K]."""
+        prob, _, _ = build_ba_problem(rng, n_kf=12, n_lm=600)
+        K = 768
+        reps = K // 12
+        # tile the 12-KF problem to K=768 disjoint copies (block-diagonal
+        # system: same optimum per block, scale in K only)
+        kf_T = jnp.tile(prob.kf_Tcw, (reps, 1, 1))
+        fixed = jnp.tile(prob.kf_fixed, (reps,))
+        cams = type(prob.cams)(*(jnp.tile(c, (reps,)) for c in prob.cams))
+        L = prob.lm_pos.shape[0]
+        off = (jnp.arange(reps).repeat(L) * 12).astype(jnp.int32)
+        obs = prob.obs._replace(
+            kf=jnp.tile(prob.obs.kf, (reps, 1)) + off[:, None],
+            uv=jnp.tile(prob.obs.uv, (reps, 1, 1)),
+            ur=jnp.tile(prob.obs.ur, (reps, 1)),
+            inv_sigma2=jnp.tile(prob.obs.inv_sigma2, (reps, 1)),
+            stereo=jnp.tile(prob.obs.stereo, (reps, 1)),
+            valid=jnp.tile(prob.obs.valid, (reps, 1)),
+        )
+        big = BAProblem(
+            kf_Tcw=kf_T, kf_fixed=fixed, cams=cams,
+            lm_pos=jnp.tile(prob.lm_pos, (reps, 1)),
+            lm_valid=jnp.tile(prob.lm_valid, (reps,)),
+            obs=obs,
+        )
+        res = bundle_adjustment(big, n_iters=3, solver="auto")
+        assert bool(jnp.isfinite(res.kf_Tcw).all())
+        assert float(res.cost) < 1e7
