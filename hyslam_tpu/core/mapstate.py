@@ -47,6 +47,11 @@ class KeyFrameArena(NamedTuple):
     bad: jnp.ndarray          # [K] culled
     origin: jnp.ndarray       # [K] map-origin KF (non-erasable, Map.cc origin)
     span_parent: jnp.ndarray  # [K] spanning-tree parent (-1 root)
+    Tcp: jnp.ndarray          # [K, 4, 4] pose relative to span_parent frozen
+                              # at cull time (KeyFrame::mTcp): a culled KF's
+                              # own Tcw stops being optimized, so trajectory
+                              # re-anchoring composes Tcp with the LIVE
+                              # parent's pose instead (Trajectory.cc:152)
     # per-feature data (padded to F slots)
     uv: jnp.ndarray           # [K, F, 2]
     ur: jnp.ndarray           # [K, F]
@@ -139,6 +144,7 @@ def empty_map_state(caps: MapCaps = MapCaps()) -> MapState:
         bad=jnp.zeros((K,), bool),
         origin=jnp.zeros((K,), bool),
         span_parent=jnp.full((K,), -1, jnp.int32),
+        Tcp=jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1)),
         uv=jnp.zeros((K, F, 2), jnp.float32),
         ur=jnp.full((K, F), -1.0, jnp.float32),
         depth=jnp.full((K, F), -1.0, jnp.float32),
@@ -609,10 +615,28 @@ def set_keyframes_bad(ms: MapState, bad_mask: jnp.ndarray) -> MapState:
         return p2, None
 
     new_par, _ = jax.lax.scan(lift, par, None, length=MAP_TREE_DEPTH)
+    # freeze each newly-culled KF's pose relative to its (lifted, live)
+    # parent: Tcp = Tcw_bad @ Tcw_parent^-1 — later optimization moves the
+    # parent, and trajectory re-anchoring recovers the culled frame's pose
+    # as Tcp @ Tcw_parent (KeyFrame::mTcp semantics)
+    from hyslam_tpu.geometry import se3 as _se3
+
+    own_par = jnp.clip(new_par, 0, K - 1)
+    Tcp_new = ms.kf.Tcw @ _se3.inverse(ms.kf.Tcw[own_par])
+    freeze = bad_mask & (new_par >= 0)
+    Tcp = jnp.where(freeze[:, None, None], Tcp_new, ms.kf.Tcp)
+    # a PREVIOUSLY-culled KF whose frozen parent is culled NOW re-anchors
+    # through it: Tcp' = Tcp o Tcp_new[parent] (its lifted span_parent
+    # already points at the parent's live ancestor)
+    par0 = ms.kf.span_parent
+    p0c = jnp.clip(par0, 0, K - 1)
+    inherit = ms.kf.bad & (par0 >= 0) & bad_mask[p0c]
+    Tcp = jnp.where(inherit[:, None, None], ms.kf.Tcp @ Tcp_new[p0c], Tcp)
     kf = ms.kf._replace(
         bad=ms.kf.bad | bad_mask,
         lm_id=jnp.where(bad_mask[:, None], -1, ms.kf.lm_id),
         span_parent=new_par,
+        Tcp=Tcp,
     )
     return ms._replace(kf=kf, lm=lm)
 

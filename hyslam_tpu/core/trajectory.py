@@ -88,21 +88,32 @@ def append(
 
 @jax.jit
 def refresh(traj: Trajectory, kf_Tcw: jnp.ndarray, kf_bad: jnp.ndarray,
-            kf_span_parent: jnp.ndarray) -> Trajectory:
+            kf_span_parent: jnp.ndarray,
+            kf_Tcp: jnp.ndarray | None = None) -> Trajectory:
     """Re-derive all absolute poses from (possibly re-optimized) keyframes:
     Tcw[i] = Tcr[i] @ kf_Tcw[ref]  (Trajectory::update). If a reference KF
-    went bad, walk up the spanning tree to a live ancestor (the reference's
-    bad->parent walk, Trajectory.cc:152)."""
+    went bad, walk up the spanning tree to a live ancestor, composing the
+    culled KF's frozen relative pose kf_Tcp into Tcr at each hop — a bad
+    KF's own Tcw is no longer optimized, so using it directly (or skipping
+    the composition) re-anchors the frame against a stale/incoherent pose
+    (the reference's Trw = Trw * mTcp walk, Trajectory.cc:152)."""
     K = kf_Tcw.shape[0]
+    if kf_Tcp is None:
+        kf_Tcp = jnp.broadcast_to(jnp.eye(4, dtype=kf_Tcw.dtype),
+                                  kf_Tcw.shape)
 
-    def live_ref(r, _):
+    def live_ref(carry, _):
+        r, T = carry
         rc = jnp.clip(r, 0, K - 1)
-        r2 = jnp.where((r >= 0) & kf_bad[rc], kf_span_parent[rc], r)
-        return r2, None
+        hop = (r >= 0) & kf_bad[rc]
+        T2 = jnp.where(hop[:, None, None], T @ kf_Tcp[rc], T)
+        r2 = jnp.where(hop, kf_span_parent[rc], r)
+        return (r2, T2), None
 
-    ref, _ = jax.lax.scan(live_ref, traj.ref_kf, None, length=8)
+    (ref, Tcr_eff), _ = jax.lax.scan(
+        live_ref, (traj.ref_kf, traj.Tcr), None, length=8)
     refc = jnp.clip(ref, 0, K - 1)
-    new_Tcw = traj.Tcr @ kf_Tcw[refc]
+    new_Tcw = Tcr_eff @ kf_Tcw[refc]
     ok = traj.valid & (ref >= 0)
     return traj._replace(Tcw=jnp.where(ok[:, None, None], new_Tcw, traj.Tcw))
 

@@ -122,6 +122,16 @@ class TestPipelinedTracker:
         tels = pipe.join()
         assert len(tels) == 25
         assert tracker.state == State.NORMAL
+        # re-anchor the trajectory to the FINAL keyframe poses before
+        # scoring: how many local-BA refinements the tracker adopted
+        # DURING the run depends on thread scheduling (machine load), but
+        # the final map state does not (Trajectory::updatePoses semantics)
+        from hyslam_tpu.core import trajectory as TJ
+
+        tracker.traj = TJ.refresh(tracker.traj, tracker.ms.kf.Tcw,
+                                  tracker.ms.kf.bad,
+                                  tracker.ms.kf.span_parent,
+                                  tracker.ms.kf.Tcp)
         n = int(tracker.traj.size)
         errs = [pose_error(np.asarray(tracker.traj.Tcw[i]), Ts[i])[1]
                 for i in range(n)]
