@@ -106,6 +106,127 @@ def train_vocabulary(descs: np.ndarray, k: int = 10, depth: int = 3,
     )
 
 
+def train_vocabulary_batched(descs: np.ndarray, k: int = 10, depth: int = 4,
+                             doc_id: np.ndarray | None = None,
+                             seed: int = 0, iters: int = 6) -> Vocabulary:
+    """Level-parallel hierarchical k-medians for LARGE corpora (hundreds of
+    thousands of descriptors, k^depth up to ~100k words) — the scale of the
+    reference's shipped DBoW2 ORB vocabulary (System.cc:86).
+
+    Unlike train_vocabulary (per-node Python recursion, fine for tiny
+    self-trained fallbacks), every level clusters ALL nodes at once: one
+    [N,k] packed-Hamming argmin per iteration (device op) + 256 bincounts
+    for the bit-median update (C loops). doc_id [N] (e.g. source image
+    index) enables idf weighting: idf = ln(n_docs / df_word)."""
+    rng = np.random.default_rng(seed)
+    descs = np.ascontiguousarray(np.asarray(descs, np.uint32))
+    N = len(descs)
+    bits = np.asarray(unpack_bits(jnp.asarray(descs), jnp.uint8))  # [N,256]
+    descs_j = jnp.asarray(descs)
+
+    centers_out = [np.zeros((1, 8), np.uint32)]     # node 0 = root
+    children_out = [np.full((1, k), -1, np.int32)]
+    node_base = 1                                    # next node id
+    slot = np.zeros(N, np.int64)                     # dense node slot / desc
+    level_node_ids = np.asarray([0], np.int64)       # node id per slot
+
+    @partial(jax.jit, static_argnames=("kk",))
+    def assign_step(C, sl, kk):
+        cen = C[sl]                                          # [N,k,8]
+        d = jnp.sum(jax.lax.population_count(
+            jnp.bitwise_xor(cen, descs_j[:, None, :])), axis=-1)
+        return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+    for level in range(depth):
+        M = len(level_node_ids)
+        # seed k centers per slot from its own members
+        order = np.lexsort((rng.random(N), slot))
+        sl_sorted = slot[order]
+        starts = np.searchsorted(sl_sorted, np.arange(M))
+        pos = np.arange(N) - starts[sl_sorted]
+        sm = pos < k
+        C = np.zeros((M, k, 8), np.uint32)
+        C[sl_sorted[sm], pos[sm]] = descs[order[sm]]
+        child_seen = np.zeros((M, k), bool)
+        child_seen[sl_sorted[sm], pos[sm]] = True
+        # nodes with < k members: duplicate the first member into unused
+        # seed rows so all-zero centers never attract assignments
+        first = descs[order[starts]]                  # [M,8] first member
+        C[~child_seen] = np.repeat(first, k, axis=0).reshape(
+            M, k, 8)[~child_seen]
+
+        slj = jnp.asarray(slot)
+        a = None
+        for _ in range(iters):
+            a = np.asarray(assign_step(jnp.asarray(C), slj, k))
+            flat = slot * k + a
+            cnt = np.bincount(flat, minlength=M * k)
+            sums = np.empty((M * k, 256), np.int64)
+            for b in range(256):
+                sums[:, b] = np.bincount(flat, weights=bits[:, b],
+                                         minlength=M * k)
+            nz = cnt > 0
+            med = (sums[nz] * 2 > cnt[nz, None]).astype(np.uint8)
+            newC = np.asarray(
+                pack_bits(jnp.asarray(med)), np.uint32).reshape(-1, 8)
+            Cf = C.reshape(M * k, 8)
+            Cf[nz] = newC
+            C = Cf.reshape(M, k, 8)
+        flat = slot * k + a
+        cnt = np.bincount(flat, minlength=M * k)
+        nonempty = (cnt > 0).reshape(M, k)
+
+        # allocate child node ids for nonempty clusters (compacted)
+        n_children = int(nonempty.sum())
+        child_id = np.full((M, k), -1, np.int64)
+        child_id[nonempty] = node_base + np.arange(n_children)
+        ch_rows = np.full((n_children, k), -1, np.int32)
+        centers_out.append(C.reshape(M * k, 8)[nonempty.ravel()])
+        children_out.append(ch_rows)
+        # fill the parents' children tables (parents are earlier rows)
+        parent_rows = np.concatenate(children_out[:-1])
+        for m in range(M):
+            ids = child_id[m][nonempty[m]]
+            parent_rows[level_node_ids[m], :len(ids)] = ids
+        # write back split (keep list-of-arrays consistent)
+        off = 0
+        for i, arr in enumerate(children_out[:-1]):
+            children_out[i] = parent_rows[off:off + len(arr)]
+            off += len(arr)
+
+        slot = child_id[slot, a] - node_base                 # dense 0..n-1
+        level_node_ids = node_base + np.arange(n_children)
+        node_base += n_children
+
+    centers = np.concatenate(centers_out)
+    children = np.concatenate(children_out)
+    n_nodes = len(centers)
+    word_id = np.full(n_nodes, -1, np.int32)
+    word_id[level_node_ids] = np.arange(len(level_node_ids), dtype=np.int32)
+    n_words = len(level_node_ids)
+
+    # idf from document frequency (DBoW2 TF_IDF weighting)
+    idf = np.ones(n_words, np.float32)
+    if doc_id is not None:
+        word_per_desc = word_id[level_node_ids[slot]]
+        docs = np.asarray(doc_id)
+        n_docs = len(np.unique(docs))
+        pairs = np.unique(
+            word_per_desc.astype(np.int64) * (docs.max() + 1) + docs)
+        df = np.bincount((pairs // (docs.max() + 1)).astype(np.int64),
+                         minlength=n_words)
+        idf = np.log(n_docs / np.maximum(df, 1)).astype(np.float32)
+        idf = np.maximum(idf, 1e-3)
+    return Vocabulary(
+        centers=jnp.asarray(centers),
+        children=jnp.asarray(children),
+        word_id=jnp.asarray(word_id),
+        idf=jnp.asarray(idf),
+        k=k,
+        depth=depth,
+    )
+
+
 @partial(jax.jit, static_argnames=("vocab_k", "vocab_depth", "n_words"))
 def _transform(centers, children, word_id, idf, desc, valid,
                vocab_k: int, vocab_depth: int, n_words: int):

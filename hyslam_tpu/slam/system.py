@@ -35,6 +35,17 @@ from hyslam_tpu.slam.global_ba import run_global_ba
 VOCAB_TRAIN_KFS = 4   # train the BoW vocabulary once this many KFs exist
 
 
+def default_vocab_path() -> Optional[str]:
+    """The shipped pretrained vocabulary (Vocabulary/synthetic_orb.npz,
+    built by tools/train_synthetic_vocab.py), or None if absent."""
+    import os
+
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))),
+        "Vocabulary", "synthetic_orb.npz")
+    return p if os.path.exists(p) else None
+
+
 class System:
     def __init__(self, config: SystemConfig | None = None):
         self.config = config or SystemConfig()
@@ -65,6 +76,18 @@ class System:
                 scale_factor=cc.extractor.scale_factor,
                 params=cc.tracking,
             )
+        self._pipe = None
+        if self.config.pipelined:
+            from hyslam_tpu.runtime.pipeline import SystemPipeline
+
+            self._pipe = SystemPipeline(self)
+
+    def flush(self):
+        """Pipelined mode: block until both pipeline stages are drained and
+        all map snapshots are adopted (use before reading trackers/maps
+        mid-run). No-op in synchronous mode."""
+        if self._pipe is not None:
+            self._pipe.drain_all()
 
     # ------------------------------------------------------------------ input
 
@@ -111,12 +134,26 @@ class System:
     def track_features(self, feats: FrameFeatures, timestamp: float,
                        camera: str = "SLAM", frame_id: int | None = None,
                        sensor_data=None):
-        """Feature-level entry (tracking_queue analog)."""
+        """Feature-level entry (tracking_queue analog). In pipelined mode
+        the frame is queued to the tracking thread (bounded queue,
+        backpressure at depth 2 — System.cc:194) and None is returned; the
+        synchronous path returns this frame's TrackerTelemetry."""
         if self._shutdown:
             raise RuntimeError("System is shut down")
         if frame_id is None:
             frame_id = self._frame_counter
         self._frame_counter += 1
+        if self._pipe is not None:
+            self._pipe.feed(camera, feats, timestamp, frame_id, sensor_data)
+            return None
+        return self._track_features_inline(feats, timestamp, camera,
+                                           frame_id, sensor_data)
+
+    def _track_features_inline(self, feats, timestamp, camera, frame_id,
+                               sensor_data, defer_maintenance=False):
+        """One frame through the state machine (+ telemetry). With
+        defer_maintenance, loop closing / periodic GBA are left to the
+        mapping thread (runtime.pipeline.SystemPipeline)."""
         tracker = self.trackers[camera]
         tel = tracker.track(feats, timestamp, frame_id,
                             sensor_data=sensor_data)
@@ -132,7 +169,8 @@ class System:
             if self._mapping_log is not None and tel.mapper_stats:
                 self._mapping_log.log(camera, tel.kf_inserted,
                                       tel.mapper_stats)
-            self._on_new_keyframe(camera, tel.kf_inserted)
+            if not defer_maintenance:
+                self._on_new_keyframe(camera, tel.kf_inserted)
         self._transition_states()
         return tel
 
@@ -163,36 +201,43 @@ class System:
 
     def _on_new_keyframe(self, camera: str, kf_id: int):
         tracker = self.trackers[camera]
+        tracker.ms, moved = self._maintain_map(camera, tracker.ms, kf_id)
+        if moved:
+            self._refresh_trajectory(camera)
+
+    def _maintain_map(self, camera: str, ms, kf_id: int):
+        """Per-keyframe map maintenance on a map snapshot: loop closing (+
+        post-loop GBA) and periodic GBA in non-realtime mode (Mapping::
+        RunGlobalBA cadence). Returns (ms, map_moved). Runs inline in the
+        synchronous path and on the mapping thread in pipelined mode."""
+        tracker = self.trackers[camera]
         map_moved = False
         if self.config.enable_loop_closing and camera == "SLAM":
-            closer = self._get_loop_closer(camera)
+            closer = self._get_loop_closer(camera, ms)
             if closer is not None:
-                ms, closed, info = closer.process_keyframe(tracker.ms, kf_id)
-                tracker.ms = ms
+                ms, closed, info = closer.process_keyframe(ms, kf_id)
                 if closed:
                     # reference spawns a GBA thread after CorrectLoop
                     ex = self.config.cameras[camera].extractor
-                    tracker.ms, _ = run_global_ba(
-                        tracker.ms, self.cameras[camera], n_iters=10,
+                    ms, _ = run_global_ba(
+                        ms, self.cameras[camera], n_iters=10,
                         sensors=tracker.sensors,
                         opt_info=self.config.optimizer,
                         n_levels=ex.n_levels, scale_factor=ex.scale_factor,
                     )
                     map_moved = True
-        # periodic GBA in non-realtime mode (Mapping::RunGlobalBA cadence)
         self._kfs_since_gba += 1
         if (not self.config.optimizer.realtime
                 and self._kfs_since_gba >= self.config.optimizer.gba_interval):
             ex = self.config.cameras[camera].extractor
-            tracker.ms, _ = run_global_ba(
-                tracker.ms, self.cameras[camera],
+            ms, _ = run_global_ba(
+                ms, self.cameras[camera],
                 sensors=tracker.sensors, opt_info=self.config.optimizer,
                 n_levels=ex.n_levels, scale_factor=ex.scale_factor,
             )
             self._kfs_since_gba = 0
             map_moved = True
-        if map_moved:
-            self._refresh_trajectory(camera)
+        return ms, map_moved
 
     def _refresh_trajectory(self, camera: str):
         """Re-derive every trajectory pose from its (re-optimized) reference
@@ -202,32 +247,39 @@ class System:
 
         t = self.trackers[camera]
         t.traj = TJ.refresh(t.traj, t.ms.kf.Tcw, t.ms.kf.bad,
-                            t.ms.kf.span_parent)
+                            t.ms.kf.span_parent, t.ms.kf.Tcp)
 
-    def _get_loop_closer(self, camera: str) -> Optional[LoopCloser]:
+    def _get_loop_closer(self, camera: str, ms=None) -> Optional[LoopCloser]:
         if camera in self.loop_closers:
             return self.loop_closers[camera]
         tracker = self.trackers[camera]
-        n_kf = int(np.asarray(tracker.ms.next_kf))
+        if ms is None:
+            ms = tracker.ms
+        n_kf = int(np.asarray(ms.next_kf))
         if n_kf < VOCAB_TRAIN_KFS:
             return None
-        if self._vocab is None and self.config.vocab_path:
-            # pretrained vocabulary (npz from tools.vocabulary, or a DBoW2
-            # text file — System.cc:86 loads the DBoW2 binary voc)
+        vp = self.config.vocab_path or default_vocab_path()
+        if self._vocab is None and vp:
+            # pretrained vocabulary (npz from tools.vocabulary /
+            # tools.train_synthetic_vocab, or a DBoW2 text file —
+            # System.cc:86 loads the DBoW2 binary voc). When no vocab_path
+            # is configured, the shipped Vocabulary/synthetic_orb.npz is
+            # the default (the reference always loads a pretrained voc;
+            # a vocab trained on the map's first seconds cannot
+            # discriminate places at map scale).
             from hyslam_tpu.features.vocab_io import load_dbow2_text, load_vocabulary
 
-            vp = self.config.vocab_path
             self._vocab = (load_vocabulary(vp) if vp.endswith(".npz")
                            else load_dbow2_text(vp))
         if self._vocab is None:
-            # otherwise train on the map's own descriptors
-            descs = np.asarray(tracker.ms.kf.desc[:n_kf]).reshape(-1, 8)
-            valid = np.asarray(tracker.ms.kf.kp_valid[:n_kf]).reshape(-1)
+            # last resort: train on the map's own descriptors
+            descs = np.asarray(ms.kf.desc[:n_kf]).reshape(-1, 8)
+            valid = np.asarray(ms.kf.kp_valid[:n_kf]).reshape(-1)
             self._vocab = train_vocabulary(descs[valid][:20000], k=10, depth=3)
         pr = PlaceRecognizer(self._vocab, K=self.config.caps.K)
         # backfill existing keyframes
         for k in range(n_kf):
-            pr.add_keyframe(k, tracker.ms.kf.desc[k], tracker.ms.kf.kp_valid[k])
+            pr.add_keyframe(k, ms.kf.desc[k], ms.kf.kp_valid[k])
         closer = LoopCloser(
             cam=self.cameras[camera], recognizer=pr,
             fix_scale=not self.config.cameras[camera].mono,
@@ -362,14 +414,20 @@ class System:
             self._mapping_log = None
 
     def shutdown(self):
-        """System::Shutdown: flush pipelines (synchronous mode: no-op),
-        close telemetry logs and refuse further input."""
+        """System::Shutdown: flush + join the pipeline threads (synchronous
+        mode: no-op), close telemetry logs and refuse further input."""
+        if self._pipe is not None:
+            self._pipe.join()
+            self._pipe = None
         self._shutdown = True
         self._close_logs()
 
     def reset(self):
         """System::Reset: fresh trackers + reopened telemetry logs (usable
         again after shutdown())."""
+        if self._pipe is not None:
+            self._pipe.join()
+            self._pipe = None
         for name, cc in self.config.cameras.items():
             self.trackers[name] = Tracker(
                 cam=self.cameras[name],
@@ -384,6 +442,10 @@ class System:
         self._close_logs()
         self._open_logs()
         self._shutdown = False
+        if self.config.pipelined:
+            from hyslam_tpu.runtime.pipeline import SystemPipeline
+
+            self._pipe = SystemPipeline(self)
 
     # ------------------------------------------------------------------ misc
 
