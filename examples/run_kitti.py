@@ -36,6 +36,9 @@ def main(argv=None):
     ap.add_argument("--out", default="out_kitti")
     ap.add_argument("--viz", action="store_true",
                     help="write map/frame snapshots")
+    ap.add_argument("--sync", action="store_true",
+                    help="synchronous (single-thread) mode; default runs "
+                         "the threaded tracking/mapping pipeline")
     args = ap.parse_args(argv)
 
     ds = KittiOdometry(args.root, args.sequence)
@@ -43,6 +46,9 @@ def main(argv=None):
     cfg = SystemConfig(
         caps=MapCaps(K=512, L=32768, F=2048, O=16),
         run_data_dir=os.path.join(args.out, "run_data"),
+        # the reference's 4-thread topology (tracking/mapping over native
+        # queues) is the production driver; --sync for deterministic runs
+        pipelined=not args.sync,
     )
     cfg.cameras["SLAM"] = CameraConfig(
         fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy, width=c.width, height=c.height,
@@ -60,17 +66,28 @@ def main(argv=None):
     t0 = time.perf_counter()
     for fr in ds.frames(stop=stop):
         tel = slam.track_stereo(fr.img_left, fr.img_right, fr.timestamp)
-        tr = slam.trackers["SLAM"]
-        est.append(np.asarray(tr.last_Tcw))
         times.append(fr.timestamp)
         if fr.gt_Tcw is not None:
             gt.append(fr.gt_Tcw)
+        if tel is None:
+            continue   # pipelined: telemetry arrives at shutdown
+        tr = slam.trackers["SLAM"]
+        est.append(np.asarray(tr.last_Tcw))
         if viewer is not None:
             viewer.update(tr.ms, current_Tcw=tr.last_Tcw)
         if tel.frame_id % 50 == 0:
             print(f"frame {tel.frame_id}: state={tel.state} "
                   f"inliers={tel.n_inliers}", flush=True)
+    slam.flush()
     wall = time.perf_counter() - t0
+    if not est:
+        # pipelined mode: read the (re-anchored) trajectory instead of
+        # per-frame poses
+        tr = slam.trackers["SLAM"]
+        n = int(tr.traj.size)
+        est = [np.asarray(tr.traj.Tcw[i]) for i in range(n)]
+        if viewer is not None:
+            viewer.update(tr.ms, current_Tcw=tr.last_Tcw)
 
     os.makedirs(args.out, exist_ok=True)
     slam.save_trajectory_tum(os.path.join(args.out, "trajectory_tum.txt"))
@@ -80,8 +97,17 @@ def main(argv=None):
         viewer.snapshot("final")
 
     n = len(est)
-    print(f"{n} frames in {wall:.1f}s -> {n / wall:.1f} fps")
-    if len(gt) == n and n > 1:
+    n_fed = len(times)
+    print(f"{n_fed} frames in {wall:.1f}s -> {n_fed / wall:.1f} fps "
+          f"({n} tracked)")
+    if gt and n > 1:
+        if len(gt) != n:
+            # pipelined: pair trajectory entries with gt by timestamp index
+            tr = slam.trackers["SLAM"]
+            tss = np.asarray(tr.traj.t[:n])
+            idx = np.searchsorted(np.asarray(times), tss)
+            idx = np.clip(idx, 0, len(gt) - 1)
+            gt = [gt[i] for i in idx]
         a = ate_rmse(np.stack(est), np.stack(gt))
         r_t, r_r = rpe(np.stack(est), np.stack(gt))
         print(f"ATE RMSE: {a:.3f} m | RPE: {r_t:.4f} m/frame, "

@@ -101,6 +101,10 @@ class SystemConfig:
     enable_loop_closing: bool = True
     vocab_path: Optional[str] = None
     viewer: bool = False
+    pipelined: bool = False   # run the reference's thread topology
+                              # (tracking + mapping/loop-closing threads over
+                              # native queues, runtime.pipeline) instead of
+                              # the synchronous in-caller path
     run_data_dir: Optional[str] = None  # enables TSV telemetry logs
                                         # (./run_data in the reference,
                                         # Tracking.cpp:51-55)
@@ -147,4 +151,5 @@ def load_config(path: str) -> SystemConfig:
     cfg.enable_loop_closing = bool(raw.get("enable_loop_closing", True))
     cfg.vocab_path = raw.get("vocab_path")
     cfg.run_data_dir = raw.get("run_data_dir")
+    cfg.pipelined = bool(raw.get("pipelined", False))
     return cfg

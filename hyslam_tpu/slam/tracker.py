@@ -90,6 +90,15 @@ class Tracker:
                               # per-camera state/strategy parameter sets
                               # (Tracking_datastructs.h:32-181 via the
                               # Cameras/States/Strategies YAML indirection)
+    mapping_status: object = None
+                              # threaded-pipeline hook (runtime.pipeline):
+                              # .idle() / .queue_len() feed the KF policy's
+                              # mapping-idle inputs; .sync(tracker) blocks
+                              # until the mapper drains and its output map
+                              # is adopted BEFORE a keyframe is inserted —
+                              # the functional-state analog of the
+                              # reference's accepting-input protocol
+                              # (InterThread.h:37-89, System.cc:194)
 
     def __post_init__(self):
         from hyslam_tpu.core.sensordata import empty_sensor_arena
@@ -165,6 +174,9 @@ class Tracker:
             kf_id = kf_ids[-1]
             self.last_Tcw = np.asarray(self.ms.kf.Tcw[kf_id])
         else:
+            ms_before = self.ms   # roll back the submap on failed init —
+                                  # otherwise every blank/featureless frame
+                                  # in REINITIALIZE leaks an empty submap
             if as_submap:
                 self.ms, submap = M.create_submap(self.ms)
             ms, kf_id, n = stereo_initialize(
@@ -172,6 +184,7 @@ class Tracker:
                 Tcw0=None if Tcw0 is None else jnp.asarray(Tcw0),
             )
             if kf_id < 0:
+                self.ms = ms_before
                 return
             self.ms = ms
             if as_submap:
@@ -258,6 +271,10 @@ class Tracker:
 
         # keyframe decision
         force = self.state == State.POSTINIT
+        idle, qlen = True, 0
+        if self.mapping_status is not None:
+            idle = bool(self.mapping_status.idle())
+            qlen = int(self.mapping_status.queue_len())
         inp = KFDecisionInputs(
             n_inliers=n_inliers,
             frame_id=frame_id,
@@ -265,13 +282,18 @@ class Tracker:
             n_kfs_in_map=n_kfs,
             n_tracked_close=n_tracked_close,
             n_nontracked_close=n_nontracked_close,
-            mapping_idle=True,
-            mapping_queue_len=0,
+            mapping_idle=idle,
+            mapping_queue_len=qlen,
             is_mono=self.is_mono,
             force=force,
         )
         kf_id = -1
         if need_new_keyframe(inp, self.policy):
+            if self.mapping_status is not None:
+                # drain the mapper and adopt its map before inserting, so
+                # keyframe insertions form a linear chain (a second KF on a
+                # stale snapshot would be lost at adoption)
+                self.mapping_status.sync(self)
             kf_id = self._insert_keyframe(feats, tr, timestamp, frame_id, tel)
 
         # trajectory append (relative to the reference keyframe)
