@@ -51,6 +51,7 @@ class LoopCloser:
     consistency: list = field(default_factory=list)  # [(group_set, count)]
     loop_edges: list = field(default_factory=list)   # [(i, j, meas S_ji)]
     last_loop_kf: int = -(10**6)
+    n_closed: int = 0        # closures performed (telemetry / tests)
 
     # -- detection ----------------------------------------------------------
 
@@ -279,6 +280,26 @@ class LoopCloser:
         ei = np.concatenate([sp_i, ci]).astype(np.int32)
         ej = np.concatenate([sp_j, cj]).astype(np.int32)
         wts = np.ones(len(ei), np.float32)
+
+        # registered-submap tiepoint edges (SetSubMapOriginEdges analog,
+        # BundleAdjustment.cc:182-201): pose_child = Tse3_parent o
+        # pose_parent keeps cross-submap components connected so a loop
+        # correction propagates through a reinitialized submap
+        reg = np.asarray(ms.maps.registered)
+        tie_kf = np.asarray(ms.maps.tie_kf)
+        tie_T = np.asarray(ms.maps.Tse3_parent)
+        kf_map = np.asarray(ms.kf.map_id)
+        origin = np.asarray(ms.kf.origin)
+        tie_i, tie_j, tie_meas = [], [], []
+        for m in np.nonzero(reg)[0]:
+            if tie_kf[m] < 0 or not kf_ok[tie_kf[m]]:
+                continue
+            child = np.nonzero(origin & (kf_map == m) & kf_ok)[0]
+            if len(child) == 0:
+                continue
+            tie_i.append(int(tie_kf[m]))
+            tie_j.append(int(child[0]))
+            tie_meas.append(np.asarray(sim3.from_se3(jnp.asarray(tie_T[m]))))
         if len(ei):
             g_all = jax.vmap(sim3.from_se3)(ms.kf.Tcw)
             meas = sim3.compose(g_all[jnp.asarray(ej)],
@@ -286,6 +307,14 @@ class LoopCloser:
             meas = np.asarray(meas)
         else:
             meas = np.zeros((0, 8), np.float32)
+        if tie_i:
+            # measurement is the STORED placement constraint, not the
+            # current relative pose
+            ei = np.concatenate([ei, np.asarray(tie_i, np.int32)])
+            ej = np.concatenate([ej, np.asarray(tie_j, np.int32)])
+            meas = np.concatenate([meas, np.stack(tie_meas)])
+            wts = np.concatenate(
+                [wts, np.ones(len(tie_i), np.float32)])
         if self.loop_edges:
             li = np.asarray([j for (i, j, m) in self.loop_edges], np.int32)
             lj = np.asarray([i for (i, j, m) in self.loop_edges], np.int32)
@@ -301,7 +330,11 @@ class LoopCloser:
         fixed = np.zeros(K, bool)
         fixed[fixed_kf] = True
         fixed |= ~kf_ok
-        fixed |= np.asarray(ms.kf.origin)
+        # gauge: fix only origins of maps with no pose relation to the
+        # parent (same rule as global_ba). A REGISTERED submap's origin is
+        # constrained by its tiepoint edge and must stay free, otherwise a
+        # loop correction cannot propagate through a reinitialized submap.
+        fixed |= origin & ~reg[np.clip(kf_map, 0, len(reg) - 1)]
         g_opt = optimize_pose_graph(
             g0, jnp.asarray(fixed),
             jnp.asarray(ei), jnp.asarray(ej),
@@ -341,4 +374,5 @@ class LoopCloser:
         if not ok:
             return ms, False, {"sim3_inliers": n}
         ms = self.correct(ms, kf_id, cand, g_cl)
+        self.n_closed += 1
         return ms, True, {"loop_kf": cand, "sim3_inliers": n}
