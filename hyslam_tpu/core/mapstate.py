@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hyslam_tpu.core.frame import FrameFeatures
 from hyslam_tpu.ops.hamming import hamming_pairwise
@@ -675,6 +676,33 @@ def register_submap(ms: MapState, map_id, Tse3_parent=None, tie_kf=-1) -> MapSta
 
 def set_active_map(ms: MapState, map_id) -> MapState:
     return ms._replace(maps=ms.maps._replace(active=jnp.asarray(map_id, jnp.int32)))
+
+
+def refresh_tiepoints(ms: MapState) -> MapState:
+    """Re-measure every registered submap's tiepoint from the CURRENT poses
+    (Tse3_parent = Tcw_origin @ Tcw_tie^-1). Used after a loop closure has
+    re-placed submaps: the loop evidence supersedes the reinit-time
+    extrapolated placement, and a stale tiepoint prior would drag global BA
+    back toward it."""
+    from hyslam_tpu.geometry import se3 as _se3
+
+    maps = ms.maps
+    n = int(np.asarray(maps.n_maps)) if not isinstance(
+        maps.n_maps, int) else maps.n_maps
+    Tse3 = maps.Tse3_parent
+    reg = np.asarray(maps.registered)
+    ties = np.asarray(maps.tie_kf)
+    origin = np.asarray(ms.kf.origin & ms.kf.valid)
+    kf_map = np.asarray(ms.kf.map_id)
+    for m in range(min(n, MAX_MAPS)):
+        if not reg[m] or ties[m] < 0:
+            continue
+        child = np.nonzero(origin & (kf_map == m))[0]
+        if len(child) == 0:
+            continue
+        T = ms.kf.Tcw[int(child[0])] @ _se3.inverse(ms.kf.Tcw[int(ties[m])])
+        Tse3 = Tse3.at[m].set(T)
+    return ms._replace(maps=maps._replace(Tse3_parent=Tse3))
 
 
 def apply_transform_to_map(ms: MapState, map_id, T: jnp.ndarray) -> MapState:

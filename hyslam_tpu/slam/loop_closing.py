@@ -194,6 +194,12 @@ class LoopCloser:
         my_row = np.asarray(ms.covis[kf_id])
         group = np.nonzero(((my_row >= 15)
                             | (np.arange(K) == kf_id)) & kf_ok)[0]
+        Tcw_before = ms.kf.Tcw   # pre-correction poses: the essential-graph
+                                 # edge MEASUREMENTS come from these (the
+                                 # reference's NonCorrectedSim3) — measuring
+                                 # from corrected poses would zero every
+                                 # residual and the graph would propagate
+                                 # nothing
         T_cw_inv = se3.inverse(ms.kf.Tcw[kf_id])
         T_kc = ms.kf.Tcw[group] @ T_cw_inv                      # [G,4,4]
         corrected = sim3.compose(sim3.from_se3(T_kc), S_cw_corr)  # [G,8]
@@ -243,19 +249,35 @@ class LoopCloser:
         )
         self.loop_edges.append((int(kf_id), int(cand), np.asarray(meas)))
 
-        # essential-graph optimization
-        ms = self.optimize_essential_graph(ms, fixed_kf=cand)
+        # essential-graph optimization (edge measurements from the
+        # PRE-correction poses; corrected KFs start at corrected poses)
+        ms = self.optimize_essential_graph(ms, fixed_kf=cand,
+                                           Tcw_meas=Tcw_before)
+        # the loop evidence supersedes the reinit-time placement: refresh
+        # registered submaps' tiepoint measurements to the corrected
+        # geometry so the next GBA's priors don't drag the map back to the
+        # (possibly wrong) extrapolated placement
+        ms = M.refresh_tiepoints(ms)
         self.last_loop_kf = kf_id
         return ms
 
-    def optimize_essential_graph(self, ms: MapState, fixed_kf: int):
+    def optimize_essential_graph(self, ms: MapState, fixed_kf: int,
+                                 Tcw_meas: jnp.ndarray | None = None):
         """Build the Sim3 pose graph: spanning-tree edges + strong covis
         edges (>= 100) + accumulated loop edges; optimize and write back
-        poses + landmark corrections (Optimizer::OptimizeEssentialGraph)."""
+        poses + landmark corrections (Optimizer::OptimizeEssentialGraph).
+
+        Tcw_meas: poses the spanning/covis edge measurements are taken
+        from (the reference's NonCorrectedSim3). Defaults to the current
+        poses; CorrectLoop passes the pre-correction ones so the mismatch
+        between corrected initial values and uncorrected measurements
+        drives the propagation."""
         K = ms.K
         kf_ok = np.asarray(ms.kf.valid & ~ms.kf.bad)
         g0 = jax.vmap(sim3.from_se3)(ms.kf.Tcw)
         g_before = g0
+        if Tcw_meas is None:
+            Tcw_meas = ms.kf.Tcw
 
         covis = np.asarray(ms.covis)
         parents = np.asarray(ms.kf.span_parent)
@@ -301,7 +323,7 @@ class LoopCloser:
             tie_j.append(int(child[0]))
             tie_meas.append(np.asarray(sim3.from_se3(jnp.asarray(tie_T[m]))))
         if len(ei):
-            g_all = jax.vmap(sim3.from_se3)(ms.kf.Tcw)
+            g_all = jax.vmap(sim3.from_se3)(Tcw_meas)
             meas = sim3.compose(g_all[jnp.asarray(ej)],
                                 sim3.inverse(g_all[jnp.asarray(ei)]))
             meas = np.asarray(meas)

@@ -139,6 +139,15 @@ class TestLoopClosing:
         err_before = pose_error(T_drift[n_kf - 1], T_true[n_kf - 1])[1]
         assert err_before > 0.08, "test needs real drift"
 
+        # drift at a mid-chain KF far from the final covisibility group:
+        # only essential-graph PROPAGATION can improve it (CorrectLoop's
+        # Sim3 snap only moves the current group) — guards the
+        # NonCorrectedSim3 semantics (edge measurements must come from
+        # pre-correction poses, else every residual is zero and the graph
+        # is a no-op)
+        mid = (2 * n_kf) // 3
+        err_mid_before = pose_error(T_drift[mid], T_true[mid])[1]
+
         closed = False
         for k in range(n_kf):
             ms, ok, info = closer.process_keyframe(ms, k)
@@ -148,6 +157,10 @@ class TestLoopClosing:
         err_after = pose_error(np.asarray(ms.kf.Tcw[n_kf - 1]),
                                T_true[n_kf - 1])[1]
         assert err_after < 0.5 * err_before, (err_before, err_after)
+        err_mid_after = pose_error(np.asarray(ms.kf.Tcw[mid]),
+                                   T_true[mid])[1]
+        assert err_mid_after < 0.75 * err_mid_before, \
+            (err_mid_before, err_mid_after)
 
     def test_no_false_positive_without_revisit(self, rng):
         # straight-line map: no loops should close
