@@ -190,10 +190,20 @@ class LoopCloser:
         S_lw = sim3.from_se3(ms.kf.Tcw[cand])
         S_cw_corr = sim3.compose(g_cl, S_lw)
 
-        # propagate to the current covisibility group (T_kc o S_cw), batched
+        # propagation set: for an IN-MAP loop, the current covisibility
+        # group (the reference's CorrectedSim3 set — drift is smooth within
+        # a map); for a CROSS-SUBMAP loop, the current KF's ENTIRE submap —
+        # a reinitialized submap carries one rigid placement error, and
+        # snapping only the covis group would leave the rest of the submap
+        # displaced for the (sloppy-mode-slow) essential graph to drag
         my_row = np.asarray(ms.covis[kf_id])
-        group = np.nonzero(((my_row >= 15)
-                            | (np.arange(K) == kf_id)) & kf_ok)[0]
+        kf_map = np.asarray(ms.kf.map_id)
+        covis_group = np.nonzero(((my_row >= 15)
+                                  | (np.arange(K) == kf_id)) & kf_ok)[0]
+        if kf_map[kf_id] != kf_map[cand]:
+            group = np.nonzero(kf_ok & (kf_map == kf_map[kf_id]))[0]
+        else:
+            group = covis_group
         Tcw_before = ms.kf.Tcw   # pre-correction poses: the essential-graph
                                  # edge MEASUREMENTS come from these (the
                                  # reference's NonCorrectedSim3) — measuring
@@ -237,7 +247,11 @@ class LoopCloser:
         loop_rows = np.unique(loop_lm[loop_lm >= 0])[: ms.F]
         rows = np.full(ms.F, -1, np.int32)
         rows[: len(loop_rows)] = loop_rows
-        for k in list(group)[:5]:
+        # fuse into the KFs nearest the loop (the current covis group), not
+        # the propagation set (which may span a whole submap)
+        fuse_targets = [kf_id] + [int(k) for k in covis_group
+                                  if k != kf_id][:4]
+        for k in fuse_targets:
             ms, _, _ = _fuse_into_kf(ms, int(k), jnp.asarray(rows), self.cam, th=4.0)
         ms = M.refresh_covisibility(ms)
         ms = M.update_landmark_stats(ms)
@@ -331,12 +345,15 @@ class LoopCloser:
             meas = np.zeros((0, 8), np.float32)
         if tie_i:
             # measurement is the STORED placement constraint, not the
-            # current relative pose
+            # current relative pose; weight is LOW — a reinit tiepoint is a
+            # velocity extrapolation, far less certain than visual odometry
+            # edges (it exists mainly to keep cross-submap components
+            # connected)
             ei = np.concatenate([ei, np.asarray(tie_i, np.int32)])
             ej = np.concatenate([ej, np.asarray(tie_j, np.int32)])
             meas = np.concatenate([meas, np.stack(tie_meas)])
             wts = np.concatenate(
-                [wts, np.ones(len(tie_i), np.float32)])
+                [wts, np.full(len(tie_i), 0.01, np.float32)])
         if self.loop_edges:
             li = np.asarray([j for (i, j, m) in self.loop_edges], np.int32)
             lj = np.asarray([i for (i, j, m) in self.loop_edges], np.int32)

@@ -26,3 +26,9 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long end-to-end runs (the rendered-circuit "
+        "system proof); included by default, deselect with -m 'not slow'")
