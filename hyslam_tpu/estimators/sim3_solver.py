@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from hyslam_tpu.utils.precision import f32 as _f32
+
 import jax
 import jax.numpy as jnp
 
@@ -21,6 +23,7 @@ N_HYPOTHESES = 128
 CHI2_SIM3 = 9.21  # 99% 2-dof (Sim3Solver's mvnMaxError base)
 
 
+@_f32
 @partial(jax.jit, static_argnames=("cam1", "cam2", "fix_scale"))
 def sim3_ransac(
     cam1: Camera,

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from hyslam_tpu.utils.precision import f32 as _f32
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -75,6 +77,7 @@ def _sample_valid(key, valid, n_sets, set_size=8):
     return order[samp]
 
 
+@_f32
 @partial(jax.jit, static_argnames=())
 def ransac_fundamental(p1, p2, valid, key):
     """Batched RANSAC: [M,2] correspondences -> (best F, inlier mask, score).
@@ -155,6 +158,7 @@ def _homography_chi2(H21, H12, p1, p2):
     return d2_1, d2_2
 
 
+@_f32
 @partial(jax.jit, static_argnames=())
 def ransac_homography(p1, p2, valid, key):
     """Batched homography RANSAC: [M,2] correspondences ->
@@ -216,6 +220,7 @@ def _triangulate_and_check(cam, T21, p1, p2, valid):
     return X, good, cosp
 
 
+@_f32
 @partial(jax.jit, static_argnames=("cam",))
 def _recover_pose(cam: Camera, F, p1, p2, valid):
     """E = K^T F K -> 4 candidate (R, t); pick by cheirality vote."""
@@ -247,6 +252,7 @@ def _recover_pose(cam: Camera, F, p1, p2, valid):
     return T, X, good, votes[best]
 
 
+@_f32
 @partial(jax.jit, static_argnames=("cam",))
 def _recover_pose_homography(cam: Camera, H21, p1, p2, valid):
     """ReconstructH (MonoEstimator.cpp:585-744): Faugeras 1988 decomposition

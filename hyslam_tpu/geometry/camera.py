@@ -30,7 +30,9 @@ class Camera(NamedTuple):
     height: int
     bf: float = 0.0          # stereo baseline * fx; 0 => monocular
     th_depth: float = 35.0   # close/far stereo point threshold, in units of baseline
-    Tcam: jnp.ndarray | None = None  # rig extrinsic body->camera [4,4]
+    Tcam: tuple | None = None  # rig extrinsic body->camera, 4x4 nested
+                             # tuple (hashable: Camera rides into jits as a
+                             # STATIC argument; use Tcam_mat() for the array)
     scale: float = 1.0       # image pre-scaling applied before processing
     fps: float = 30.0
 
@@ -47,6 +49,10 @@ class Camera(NamedTuple):
         """Depth below which a stereo point counts as 'close' (reference:
         thDepth * baseline, Camera.cc)."""
         return self.th_depth * self.baseline if self.bf > 0 else jnp.inf
+
+    def Tcam_mat(self, dtype=jnp.float32):
+        """Rig extrinsic as an array, or None."""
+        return None if self.Tcam is None else jnp.asarray(self.Tcam, dtype)
 
     def K(self, dtype=jnp.float32) -> jnp.ndarray:
         return jnp.array(

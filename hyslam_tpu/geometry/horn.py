@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from hyslam_tpu.utils.precision import HIGHEST as _P
+
 from hyslam_tpu.geometry import sim3, so3
 
 
@@ -41,7 +43,7 @@ def horn_sim3(
 
     # Cross-covariance with Horn's indexing: S_ab = sum_n w_n * x_a * y_b
     # (left = source x, right = target y; Horn 1987 §4A)
-    M = jnp.einsum("...ni,...nj->...ij", wn * xc, yc)
+    M = jnp.einsum("...ni,...nj->...ij", wn * xc, yc, precision=_P)
 
     Sxx, Sxy, Sxz = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
     Syx, Syy, Syz = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
@@ -70,7 +72,7 @@ def horn_sim3(
     if fix_scale:
         s = jnp.ones_like(s)
 
-    t = cy - s[..., None] * jnp.einsum("...ij,...j->...i", R, cx)
+    t = cy - s[..., None] * jnp.einsum("...ij,...j->...i", R, cx, precision=_P)
     return sim3.pack(s, R, t)
 
 

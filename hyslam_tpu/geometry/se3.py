@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from hyslam_tpu.geometry import so3
+from hyslam_tpu.utils.precision import HIGHEST as _P
 
 
 def identity(batch_shape=(), dtype=jnp.float32) -> jnp.ndarray:
@@ -42,17 +43,18 @@ def inverse(T: jnp.ndarray) -> jnp.ndarray:
     R = rotation(T)
     t = translation(T)
     Rt = jnp.swapaxes(R, -1, -2)
-    return from_Rt(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
+    return from_Rt(Rt, -jnp.einsum("...ij,...j->...i", Rt, t, precision=_P))
 
 
 def compose(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
-    return A @ B
+    return jnp.matmul(A, B, precision=_P)
 
 
 def apply(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Transform points: T [..., 4, 4] applied to pts [..., 3] (broadcasting)."""
     return (
-        jnp.einsum("...ij,...j->...i", rotation(T), pts) + translation(T)
+        jnp.einsum("...ij,...j->...i", rotation(T), pts, precision=_P)
+        + translation(T)
     )
 
 
@@ -62,7 +64,7 @@ def exp(xi: jnp.ndarray) -> jnp.ndarray:
     v = xi[..., 3:]
     R = so3.exp(w)
     V = so3.left_jacobian(w)
-    t = jnp.einsum("...ij,...j->...i", V, v)
+    t = jnp.einsum("...ij,...j->...i", V, v, precision=_P)
     return from_Rt(R, t)
 
 
@@ -70,7 +72,7 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
     """Logarithm map [..., 4, 4] -> [..., 6] (omega, upsilon)."""
     w = so3.log(rotation(T))
     Vinv = so3.left_jacobian_inv(w)
-    v = jnp.einsum("...ij,...j->...i", Vinv, translation(T))
+    v = jnp.einsum("...ij,...j->...i", Vinv, translation(T), precision=_P)
     return jnp.concatenate([w, v], axis=-1)
 
 
@@ -81,7 +83,7 @@ def adjoint(T: jnp.ndarray) -> jnp.ndarray:
     t = translation(T)
     z = jnp.zeros_like(R)
     top = jnp.concatenate([R, z], axis=-1)
-    bottom = jnp.concatenate([so3.hat(t) @ R, R], axis=-1)
+    bottom = jnp.concatenate([jnp.matmul(so3.hat(t), R, precision=_P), R], axis=-1)
     return jnp.concatenate([top, bottom], axis=-2)
 
 

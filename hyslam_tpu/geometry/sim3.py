@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from hyslam_tpu.geometry import so3
+from hyslam_tpu.utils.precision import HIGHEST as _P
 
 
 def pack(s, R, t) -> jnp.ndarray:
@@ -34,7 +35,7 @@ def identity(batch_shape=(), dtype=jnp.float32) -> jnp.ndarray:
 
 def apply(g: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     s, R, t = unpack(g)
-    return s[..., None] * jnp.einsum("...ij,...j->...i", R, pts) + t
+    return s[..., None] * jnp.einsum("...ij,...j->...i", R, pts, precision=_P) + t
 
 
 def compose(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -42,8 +43,8 @@ def compose(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     sa, Ra, ta = unpack(a)
     sb, Rb, tb = unpack(b)
     s = sa * sb
-    R = Ra @ Rb
-    t = sa[..., None] * jnp.einsum("...ij,...j->...i", Ra, tb) + ta
+    R = jnp.matmul(Ra, Rb, precision=_P)
+    t = sa[..., None] * jnp.einsum("...ij,...j->...i", Ra, tb, precision=_P) + ta
     return pack(s, R, t)
 
 
@@ -51,7 +52,7 @@ def inverse(g: jnp.ndarray) -> jnp.ndarray:
     s, R, t = unpack(g)
     si = 1.0 / s
     Ri = jnp.swapaxes(R, -1, -2)
-    ti = -si[..., None] * jnp.einsum("...ij,...j->...i", Ri, t)
+    ti = -si[..., None] * jnp.einsum("...ij,...j->...i", Ri, t, precision=_P)
     return pack(si, Ri, ti)
 
 
@@ -118,10 +119,10 @@ def exp(xi: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     A, B, C = _W_coeffs(sigma, theta2)
     W = so3.hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision=_P)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     Wm = A[..., None, None] * eye + B[..., None, None] * W + C[..., None, None] * W2
-    t = jnp.einsum("...ij,...j->...i", Wm, v)
+    t = jnp.einsum("...ij,...j->...i", Wm, v, precision=_P)
     return pack(jnp.exp(sigma), so3.exp(w), t)
 
 
@@ -136,7 +137,7 @@ def log(g: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     A, B, C = _W_coeffs(sigma, theta2)
     W = so3.hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision=_P)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=g.dtype), W.shape)
     Wm = A[..., None, None] * eye + B[..., None, None] * W + C[..., None, None] * W2
     v = jnp.linalg.solve(Wm, t[..., None])[..., 0]

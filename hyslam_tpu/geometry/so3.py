@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from hyslam_tpu.utils.precision import HIGHEST as _P
+
 _EPS = 1e-8
 
 
@@ -73,7 +75,7 @@ def exp(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     A, B, _ = _sinc_coeffs(theta2)
     W = hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision=_P)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + A[..., None, None] * W + B[..., None, None] * W2
 
@@ -178,9 +180,9 @@ def quat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def normalize(R: jnp.ndarray) -> jnp.ndarray:
     """Re-orthonormalize a near-rotation matrix (SVD projection)."""
     u, _, vt = jnp.linalg.svd(R)
-    det = jnp.linalg.det(u @ vt)
+    det = jnp.linalg.det(jnp.matmul(u, vt, precision=_P))
     d = jnp.ones(R.shape[:-2] + (3,), R.dtype).at[..., 2].set(det)
-    return (u * d[..., None, :]) @ vt
+    return jnp.matmul(u * d[..., None, :], vt, precision=_P)
 
 
 def left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
@@ -188,7 +190,7 @@ def left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     _, B, C = _sinc_coeffs(theta2)
     W = hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision=_P)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + B[..., None, None] * W + C[..., None, None] * W2
 
@@ -207,6 +209,6 @@ def left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
         (1.0 - A / (2.0 * B)) / safe_t2,
     )
     W = hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision=_P)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye - 0.5 * W + D[..., None, None] * W2

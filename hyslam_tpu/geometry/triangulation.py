@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from hyslam_tpu.utils.precision import HIGHEST as _P
+
 
 def triangulate_dlt(
     P1: jnp.ndarray, P2: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray
@@ -31,7 +33,7 @@ def triangulate_dlt(
     A = jnp.concatenate([rows(P1, uv1), rows(P2, uv2)], axis=-2)  # [..., 4, 4]
     # Right singular vector of smallest singular value of A == eigenvector of
     # A^T A with smallest eigenvalue. eigh batches well on TPU.
-    AtA = jnp.swapaxes(A, -1, -2) @ A
+    AtA = jnp.matmul(jnp.swapaxes(A, -1, -2), A, precision=_P)
     _, vecs = jnp.linalg.eigh(AtA)
     X = vecs[..., :, 0]  # eigenvalues ascending -> first column
     w = X[..., 3]
@@ -41,4 +43,4 @@ def triangulate_dlt(
 
 def projection_matrix(K: jnp.ndarray, Tcw: jnp.ndarray) -> jnp.ndarray:
     """K [3,3] and Tcw [..., 4, 4] -> P = K @ [R|t] of shape [..., 3, 4]."""
-    return jnp.einsum("ij,...jk->...ik", K, Tcw[..., :3, :])
+    return jnp.einsum("ij,...jk->...ik", K, Tcw[..., :3, :], precision=_P)

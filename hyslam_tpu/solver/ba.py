@@ -28,6 +28,8 @@ camera-generic (multi-camera maps, System.cc:91-117).
 from __future__ import annotations
 
 from functools import partial
+
+from hyslam_tpu.utils.precision import f32 as _f32
 from typing import NamedTuple
 
 import jax
@@ -450,6 +452,7 @@ def _assemble_and_solve(p: BAProblem, kf_Tcw, lm_pos, lam, obs_active, huber: bo
     return delta_pose, delta_lm
 
 
+@_f32
 @partial(jax.jit, static_argnames=("n_iters", "huber", "chunk", "solver"))
 def bundle_adjustment(
     p: BAProblem,

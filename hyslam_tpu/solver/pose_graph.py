@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from hyslam_tpu.utils.precision import f32 as _f32
+
 import jax
 import jax.numpy as jnp
 
@@ -29,6 +31,7 @@ def _edge_residual(g_i, g_j, meas_ji):
     return sim3.log(sim3.compose(meas_ji, sim3.compose(g_i, sim3.inverse(g_j))))
 
 
+@_f32
 @partial(jax.jit, static_argnames=("n_iters", "fix_scale", "solver"))
 def optimize_pose_graph(
     g: jnp.ndarray,          # [K, 8] packed Sim3 world->cam (initial)

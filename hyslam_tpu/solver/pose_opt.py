@@ -16,6 +16,8 @@ tracked frame as in Tracking.cc call stacks, SURVEY.md §3.2).
 from __future__ import annotations
 
 from functools import partial
+
+from hyslam_tpu.utils.precision import f32 as _f32
 from typing import NamedTuple
 
 import jax
@@ -110,6 +112,7 @@ def _lm_rounds(
     return T, inliers, c2
 
 
+@_f32
 @partial(jax.jit, static_argnames=("cam", "n_rounds", "iters_per_round"))
 def pose_optimization(
     cam: Camera,

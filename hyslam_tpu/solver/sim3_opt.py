@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from hyslam_tpu.utils.precision import f32 as _f32
+
 import jax
 import jax.numpy as jnp
 
@@ -16,6 +18,7 @@ from hyslam_tpu.geometry.camera import Camera
 from hyslam_tpu.solver import robust
 
 
+@_f32
 @partial(jax.jit, static_argnames=("cam1", "cam2", "fix_scale", "n_iters"))
 def optimize_sim3(
     cam1: Camera,
