@@ -64,11 +64,13 @@ def main(argv=None):
     stop = args.frames or None
     est, gt, times = [], [], []
     t0 = time.perf_counter()
+    gt_times = []
     for fr in ds.frames(stop=stop):
         tel = slam.track_stereo(fr.img_left, fr.img_right, fr.timestamp)
         times.append(fr.timestamp)
         if fr.gt_Tcw is not None:
             gt.append(fr.gt_Tcw)
+            gt_times.append(fr.timestamp)
         if tel is None:
             continue   # pipelined: telemetry arrives at shutdown
         tr = slam.trackers["SLAM"]
@@ -102,11 +104,17 @@ def main(argv=None):
           f"({n} tracked)")
     if gt and n > 1:
         if len(gt) != n:
-            # pipelined: pair trajectory entries with gt by timestamp index
+            # pipelined: pair trajectory entries with gt by gt TIMESTAMP
+            # (indexing gt with positions from the all-frames list shifts
+            # every pairing after a frame without ground truth, ADVICE r3)
             tr = slam.trackers["SLAM"]
             tss = np.asarray(tr.traj.t[:n])
-            idx = np.searchsorted(np.asarray(times), tss)
-            idx = np.clip(idx, 0, len(gt) - 1)
+            gts = np.asarray(gt_times)
+            idx = np.clip(np.searchsorted(gts, tss), 0, len(gt) - 1)
+            # snap to the nearer of the two bracketing gt timestamps
+            lo = np.clip(idx - 1, 0, len(gt) - 1)
+            idx = np.where(
+                np.abs(gts[lo] - tss) < np.abs(gts[idx] - tss), lo, idx)
             gt = [gt[i] for i in idx]
         a = ate_rmse(np.stack(est), np.stack(gt))
         r_t, r_r = rpe(np.stack(est), np.stack(gt))

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from hyslam_tpu.utils.precision import f32 as _f32
+
 import jax
 import jax.numpy as jnp
 
@@ -49,6 +51,7 @@ def _dlt_pose(Xs, xs):
     return se3.from_Rt(R, t)
 
 
+@_f32
 @partial(jax.jit, static_argnames=("cam",))
 def pnp_ransac(
     cam: Camera,
@@ -65,7 +68,14 @@ def pnp_ransac(
     xh = jnp.concatenate([uv, jnp.ones((N, 1))], -1) @ Kinv.T
     xn = xh[:, :2] / xh[:, 2:3]
 
-    idx = jax.random.randint(key, (N_HYPOTHESES, MIN_SET), 0, N)
+    # sample minimal sets FROM THE VALID ROWS ONLY (uniform over all padded
+    # slots makes a clean 6-point set exponentially unlikely at realistic
+    # valid fractions — the round-3 relocalization flakiness)
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    idx = jax.random.categorical(
+        key, jnp.broadcast_to(logits, (N_HYPOTHESES * MIN_SET, N)), axis=-1
+    ).reshape(N_HYPOTHESES, MIN_SET)
+    idx = jnp.where(jnp.any(valid), idx, 0)
     Ts = jax.vmap(lambda i: _dlt_pose(X[i], xn[i]))(idx)    # [S,4,4]
 
     def score(T):

@@ -71,7 +71,8 @@ class CameraConfig:
             width=int(round(self.width * s)), height=int(round(self.height * s)),
             bf=0.0 if self.mono else self.bf * s,
             th_depth=self.th_depth,
-            Tcam=None if self.Tcam is None else jnp.asarray(self.Tcam, jnp.float32),
+            Tcam=None if self.Tcam is None else tuple(
+                tuple(float(x) for x in row) for row in self.Tcam),
             scale=self.scale, fps=self.fps,
         )
 
@@ -135,7 +136,8 @@ def load_config(path: str) -> SystemConfig:
             # the state/strategy indirection (Cameras/States/Strategies,
             # slam_tracking_config.yaml); its Normal block carries the
             # keyframe policy unless the camera sets an explicit one
-            cc.tracking = resolve_tracking_params(tracking_raw, name)
+            cc.tracking = resolve_tracking_params(
+                tracking_raw, name, is_mono=cc.mono)
             cc.policy = (_build(KeyFramePolicyParams, pol_block)
                          if pol_block else cc.tracking.policy)
         else:

@@ -99,8 +99,15 @@ class SystemPipeline:
             raise RuntimeError(f"pipeline thread died: {self._error!r}")
         with self._idle_cv:
             self._pending_frames += 1
-        self.tracking_queue.push(
-            FramePayload(feats, timestamp, frame_id, camera, sensor_data))
+        if not self.tracking_queue.push(
+                FramePayload(feats, timestamp, frame_id, camera,
+                             sensor_data)):
+            # queue closed: undo the accounting so drain_all cannot stall
+            # on a frame that never entered the pipeline (ADVICE r3)
+            with self._idle_cv:
+                self._pending_frames -= 1
+                self._idle_cv.notify_all()
+            raise RuntimeError("tracking queue is closed; frame rejected")
 
     def join(self):
         """Flush both stages and stop the threads (System::Shutdown)."""
@@ -121,6 +128,11 @@ class SystemPipeline:
         deadline = time.monotonic() + timeout
         with self._idle_cv:
             while (self.mapping_queue.size() > 0 or self._mapper_busy):
+                if self._error is not None:
+                    # surface the stored exception instead of stalling for
+                    # the full timeout on a dead mapping thread (ADVICE r3)
+                    raise RuntimeError(
+                        f"pipeline thread died: {self._error!r}")
                 if not self._idle_cv.wait(timeout=max(
                         0.0, deadline - time.monotonic())):
                     raise TimeoutError("mapping stage did not drain")
@@ -204,13 +216,6 @@ class SystemPipeline:
     # -- mapping thread -------------------------------------------------------
 
     def _mapping_loop(self):
-        from hyslam_tpu.slam.mapper import (
-            cull_landmarks,
-            fuse_landmarks,
-            local_bundle_adjustment,
-            triangulate_new_landmarks,
-        )
-
         try:
             while True:
                 item = self.mapping_queue.pop()
@@ -219,24 +224,12 @@ class SystemPipeline:
                 camera, ms, kf_id, kw = item
                 tracker = self.sys.trackers[camera]
                 mapper = tracker.mapper
-                p = mapper.params
                 # overflow shedding: if more KFs are queued, run only the
                 # mandatory jobs (Mapping.cpp:285-304 / budget_level)
                 budget = 2 if self.mapping_queue.size() == 0 else 1
-                ms = cull_landmarks(ms, kf_id, p, mapper.is_mono)
-                if budget >= 1:
-                    ms, _ = triangulate_new_landmarks(
-                        ms, kf_id, mapper.cam, p, mapper.is_mono)
-                    ms, _, _ = fuse_landmarks(ms, kf_id, mapper.cam, p)
-                if budget >= 2 and mapper.kf_count > 2:
-                    ms, _ = local_bundle_adjustment(
-                        ms, kf_id, mapper.cam,
-                        sensors=kw.get("sensors"),
-                        opt_info=kw.get("opt_info"),
-                        n_levels=mapper.n_levels,
-                        scale_factor=mapper.scale_factor,
-                    )
-                mapper.kf_count += 1
+                ms, _ = self._orig_integrate[camera](
+                    ms, kf_id, budget_level=budget,
+                    sensors=kw.get("sensors"), opt_info=kw.get("opt_info"))
                 # loop closing + periodic GBA (the maintenance the sync
                 # path runs in System._on_new_keyframe)
                 ms, moved = self.sys._maintain_map(camera, ms, kf_id)
@@ -248,6 +241,9 @@ class SystemPipeline:
                     self._idle_cv.notify_all()
         except BaseException as e:
             self._error = e
+            # unblock producers and close the queue so drain waiters fail
+            # fast instead of timing out (ADVICE r3)
+            self.mapping_queue.close()
             with self._idle_cv:
                 self._mapper_busy = False
                 self._idle_cv.notify_all()
@@ -370,13 +366,6 @@ class PipelinedTracker:
     # -- mapping thread ------------------------------------------------------
 
     def _mapping_loop(self):
-        from hyslam_tpu.slam.mapper import (
-            cull_landmarks,
-            fuse_landmarks,
-            local_bundle_adjustment,
-            triangulate_new_landmarks,
-        )
-
         while True:
             item = self.mapping_queue.pop()
             if item is None:
@@ -384,15 +373,8 @@ class PipelinedTracker:
             ms, kf_id = item
             # overflow shedding: if more KFs queued, do mandatory-only
             budget = 2 if self.mapping_queue.size() == 0 else 1
-            p = self._mapper.params
-            ms = cull_landmarks(ms, kf_id, p, self._mapper.is_mono)
-            if budget >= 1:
-                ms, _ = triangulate_new_landmarks(
-                    ms, kf_id, self._mapper.cam, p, self._mapper.is_mono)
-                ms, _, _ = fuse_landmarks(ms, kf_id, self._mapper.cam, p)
-            if budget >= 2 and self._mapper.kf_count > 2:
-                ms, _ = local_bundle_adjustment(ms, kf_id, self._mapper.cam)
-            self._mapper.kf_count += 1
+            ms, _ = type(self._mapper).integrate_keyframe(
+                self._mapper, ms, kf_id, budget_level=budget)
             with self._idle_cv:
                 self._mapper_out = ms
                 self._mapper_busy = (self.mapping_queue.size() > 0)

@@ -161,6 +161,13 @@ class Tracker:
 
     def _do_initialize(self, feats, timestamp, frame_id, tel,
                        Tcw0=None, as_submap=False, tie_kf=-1):
+        if self.mapping_status is not None:
+            # drain + adopt the mapper's map BEFORE allocating init/reinit
+            # keyframes — inserting on a stale snapshot would be silently
+            # discarded at the next adoption, leaving ref_kf/last_lm_id
+            # pointing at unallocated arena slots (ADVICE r3 medium;
+            # mirrors the need_new_keyframe sync in _do_normal)
+            self.mapping_status.sync(self)
         if self.is_mono:
             from hyslam_tpu.slam.mono_init import MonoInitializer  # lazy
             if not hasattr(self, "_mono_init"):

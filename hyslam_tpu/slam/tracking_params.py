@@ -115,8 +115,10 @@ _KEY_ALIASES = {
     "N_min_matches_BoW": "n_min_matches_bow",
     "N_min_matches_PoseOpt": "n_min_matches_pnp",
     "N_min_matches_success": "n_min_matches_success",
-    "match_radius_threshold": "match_radius",
-    "match_radius_threshold_other": "match_radius",
+    # match_radius_threshold / match_radius_threshold_other are resolved by
+    # the camera's mono flag in _build (not plain aliases — a stereo camera
+    # takes the first, any other camera the "_other" variant; the reference
+    # reads both fields per strategy, Tracking_datastructs.h)
     "match_theshold_inflation_factor": "inflation_factor",  # sic (reference)
     "match_threshold_inflation_factor": "inflation_factor",
     "match_nnratio_1": "match_nnratio_1",
@@ -136,9 +138,21 @@ _KEY_ALIASES = {
 }
 
 
-def _build(cls, d: dict):
+def _build(cls, d: dict, is_mono: bool = False):
+    d = dict(d or {})
+    # the radius pair is camera-kind-resolved, not a plain alias: a stereo
+    # camera uses match_radius_threshold (ref default 15), any other camera
+    # match_radius_threshold_other (ref default 7) — deterministic
+    # regardless of YAML key order (ADVICE r3)
+    primary = d.pop("match_radius_threshold", None)
+    other = d.pop("match_radius_threshold_other", None)
+    pick = other if is_mono else primary
+    if pick is None:
+        pick = primary if primary is not None else other
+    if pick is not None and "match_radius" in cls._fields:
+        d["match_radius"] = pick
     out = {}
-    for k, v in (d or {}).items():
+    for k, v in d.items():
         name = _KEY_ALIASES.get(k, k)
         if name in cls._fields:
             # cast to the declared default's type (int thresholds stay int)
@@ -147,11 +161,13 @@ def _build(cls, d: dict):
     return cls(**out)
 
 
-def resolve_tracking_params(raw: dict, camera: str) -> TrackingParams:
+def resolve_tracking_params(raw: dict, camera: str,
+                            is_mono: bool = False) -> TrackingParams:
     """Resolve the Cameras/States/Strategies indirection for one camera
     (the reference's loadStateOptions): look up the camera's named state
     sets, then each state's named strategy sets. Unknown cameras fall back
-    to the 'SLAM' row, then to defaults."""
+    to the 'SLAM' row, then to defaults. is_mono picks the stereo/other
+    variant of paired radius keys."""
     cams = raw.get("Cameras") or raw.get("cameras") or {}
     states = raw.get("States") or raw.get("states") or {}
     strategies = raw.get("Strategies") or raw.get("strategies") or {}
@@ -161,7 +177,7 @@ def resolve_tracking_params(raw: dict, camera: str) -> TrackingParams:
     for state_name, (field, cls) in _STATE_FIELDS.items():
         set_name = cam_row.get(state_name)
         block = states.get(set_name, {}) if set_name else {}
-        fields[field] = _build(cls, block)
+        fields[field] = _build(cls, block, is_mono)
         if state_name == "Normal":
             # the reference keeps the keyframe-insertion policy fields in
             # the same Normal block (TrackingStateNormal.cpp:87-170)
@@ -170,5 +186,6 @@ def resolve_tracking_params(raw: dict, camera: str) -> TrackingParams:
             if strat_name not in _STRATEGY_FIELDS:
                 continue
             sfield, scls = _STRATEGY_FIELDS[strat_name]
-            fields[sfield] = _build(scls, strategies.get(strat_set, {}))
+            fields[sfield] = _build(scls, strategies.get(strat_set, {}),
+                                     is_mono)
     return TrackingParams(**fields)
