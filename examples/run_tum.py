@@ -1,9 +1,10 @@
-"""Run monocular SLAM on a TUM RGB-D sequence (e.g. fr1/desk) and report
-ATE against the ground truth (the SURVEY.md §7.3 second slice: mono
-initializer + reference-keyframe tracking).
+"""Run SLAM on a TUM RGB-D sequence (e.g. fr1/desk) and report ATE
+against the ground truth. Default is monocular (the SURVEY.md §7.3 second
+slice); --rgbd uses the registered depth images through System.track_rgbd
+(BASELINE config #3: RGB-D full pipeline on fr3/office).
 
     python examples/run_tum.py /data/tum/rgbd_dataset_freiburg1_desk \
-        --frames 300 --out out_tum/
+        --frames 300 --out out_tum/ [--rgbd]
 """
 
 from __future__ import annotations
@@ -29,21 +30,30 @@ def main(argv=None):
     ap.add_argument("root", help="TUM sequence dir (rgb.txt, depth.txt, ...)")
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--out", default="out_tum")
+    ap.add_argument("--rgbd", action="store_true",
+                    help="use registered depth (System.track_rgbd); "
+                         "default tracks monocular and discards depth")
     args = ap.parse_args(argv)
 
     ds = TumRgbd(args.root)
     cfg = SystemConfig(caps=MapCaps(K=256, L=16384, F=1024, O=16))
     cfg.cameras["SLAM"] = CameraConfig(
         fx=ds.FX, fy=ds.FY, cx=ds.CX, cy=ds.CY, width=640, height=480,
-        mono=True,
+        mono=not args.rgbd,
+        # virtual baseline for the synthesized stereo channel (ORB-SLAM2
+        # uses ~40 px * depth-scale for TUM; bf = fx * 0.08 m here)
+        bf=0.0 if not args.rgbd else ds.FX * 0.08,
     )
     slam = System(cfg)
 
     stop = args.frames or None
     est, ts = [], []
     t0 = time.perf_counter()
-    for i, t, img, _depth in ds.frames(stop=stop):
-        tel = slam.track_monocular(img, t)
+    for i, t, img, depth in ds.frames(stop=stop):
+        if args.rgbd:
+            tel = slam.track_rgbd(img, depth, t)
+        else:
+            tel = slam.track_monocular(img, t)
         tr = slam.trackers["SLAM"]
         est.append(np.asarray(tr.last_Tcw))
         ts.append(t)
@@ -72,9 +82,10 @@ def main(argv=None):
             Twc[:3, :3] = R
             Twc[:3, 3] = [tx, ty, tz]
             gts.append(np.linalg.inv(Twc))
-        # monocular scale is free: sim3 alignment
-        a = ate_rmse(np.stack(est), np.stack(gts), align="sim3")
-        print(f"ATE RMSE (sim3-aligned): {a:.4f} m")
+        # monocular scale is free (sim3); RGB-D is metric (se3)
+        align = "se3" if args.rgbd else "sim3"
+        a = ate_rmse(np.stack(est), np.stack(gts), align=align)
+        print(f"ATE RMSE ({align}-aligned): {a:.4f} m")
     return 0
 
 

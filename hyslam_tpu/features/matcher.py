@@ -36,16 +36,18 @@ from hyslam_tpu.ops.hamming import hamming_matrix
 TH_HIGH = 100
 TH_LOW = 50
 HISTO_BINS = 30
-N_LEVELS = 8
-SCALE = 1.2
+N_LEVELS = 8        # defaults only; per-camera values flow in from
+SCALE = 1.2         # ExtractorConfig via the n_levels/scale_factor args
 BIG = 1 << 16
 
 
-def predict_level(dist: jnp.ndarray, max_dist: jnp.ndarray, n_levels=N_LEVELS):
+def predict_level(dist: jnp.ndarray, max_dist: jnp.ndarray,
+                  n_levels: int = N_LEVELS, scale_factor: float = SCALE):
     """Scale level a landmark would appear at, from its distance and
-    max-distance invariance bound (MapPoint::PredictScale analog)."""
+    max-distance invariance bound (MapPoint::PredictScale analog), under
+    the camera's pyramid model (FeatureExtractorSettings)."""
     ratio = jnp.maximum(max_dist / jnp.maximum(dist, 1e-6), 1e-6)
-    lv = jnp.ceil(jnp.log(ratio) / jnp.log(SCALE))
+    lv = jnp.ceil(jnp.log(ratio) / jnp.log(scale_factor))
     return jnp.clip(lv, 0, n_levels - 1).astype(jnp.int32)
 
 
@@ -92,7 +94,7 @@ class ProjMatchResult(NamedTuple):
     n_matches: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("cam",))
+@partial(jax.jit, static_argnames=("cam", "n_levels", "scale_factor"))
 def search_by_projection_landmarks(
     cam: Camera,
     frame: FrameFeatures,
@@ -106,6 +108,8 @@ def search_by_projection_landmarks(
     already_matched: jnp.ndarray,  # [F] features to skip (have a landmark)
     th: float = 1.0,
     ratio: float = 0.9,
+    n_levels: int = N_LEVELS,
+    scale_factor: float = SCALE,
 ) -> ProjMatchResult:
     """Track-local-map matching (_SearchByProjection_ vs a landmark set,
     FeatureMatcher.cc:123 path). Returns the per-feature landmark row.
@@ -130,9 +134,9 @@ def search_by_projection_landmarks(
         dist * jnp.linalg.norm(lm_normal, axis=-1), 1e-9
     )
     view_ok = ncos > 0.5
-    lv = predict_level(dist, lm_max_dist)
+    lv = predict_level(dist, lm_max_dist, n_levels, scale_factor)
     r_base = jnp.where(ncos > 0.998, 2.5, 4.0)
-    radius = r_base * th * SCALE ** lv.astype(jnp.float32)      # [Q]
+    radius = r_base * th * scale_factor ** lv.astype(jnp.float32)  # [Q]
 
     q_ok = lm_valid & in_img & dist_ok & view_ok
 
@@ -176,7 +180,7 @@ def search_by_projection_landmarks(
     )
 
 
-@partial(jax.jit, static_argnames=("cam",))
+@partial(jax.jit, static_argnames=("cam", "n_levels", "scale_factor"))
 def search_by_projection_frame(
     cam: Camera,
     cur: FrameFeatures,
@@ -186,6 +190,8 @@ def search_by_projection_frame(
     last_lm_pos: jnp.ndarray,     # [F, 3] world positions for those ids
     th: float = 1.0,
     forward: jnp.ndarray | None = None,
+    n_levels: int = N_LEVELS,
+    scale_factor: float = SCALE,
 ):
     """Motion-model matching vs the last frame (FeatureMatcher.cc:145 path):
     project last frame's landmarks with the predicted pose, window-search by
@@ -201,7 +207,7 @@ def search_by_projection_frame(
     q_ok = has_lm & in_img
 
     lv = last.level
-    radius = th * SCALE ** lv.astype(jnp.float32)
+    radius = th * scale_factor ** lv.astype(jnp.float32)
     duv = jnp.stack([u, v], -1)[:, None, :] - cur.uv[None, :, :]
     within = jnp.sum(duv * duv, axis=-1) <= (radius[:, None] ** 2)
     lvl_ok = (cur.level[None, :] >= lv[:, None] - 1) & (
@@ -275,7 +281,7 @@ def fundamental_from_poses(cam1: Camera, Tcw1: jnp.ndarray,
     return K2i.T @ so3.hat(t21) @ R21 @ K1i
 
 
-@partial(jax.jit, static_argnames=("cam",))
+@partial(jax.jit, static_argnames=("cam", "scale_factor"))
 def search_for_triangulation(
     cam: Camera,
     f1: FrameFeatures,
@@ -284,6 +290,7 @@ def search_for_triangulation(
     unmatched2: jnp.ndarray,
     F12: jnp.ndarray,          # [3, 3] fundamental matrix kf1 -> kf2
     epi_sigma: float = 1.0,
+    scale_factor: float = SCALE,
 ):
     """Epipolar-constrained matching of unmatched features between two
     keyframes for new-landmark triangulation (SearchForTriangulation,
@@ -295,7 +302,7 @@ def search_for_triangulation(
     num = jnp.abs(l2 @ x2.T)                                  # [F1, F2]
     den = jnp.sqrt(l2[:, 0] ** 2 + l2[:, 1] ** 2)[:, None]
     epi_d2 = (num / jnp.maximum(den, 1e-9)) ** 2
-    sigma2 = epi_sigma * SCALE ** (2.0 * f2.level.astype(jnp.float32))
+    sigma2 = epi_sigma * scale_factor ** (2.0 * f2.level.astype(jnp.float32))
     epi_ok = epi_d2 < 3.84 * sigma2[None, :]
 
     ok_ab = (

@@ -35,6 +35,20 @@ class KittiCalib:
     height: int
 
 
+def _imread_depth(path: str, factor: float) -> np.ndarray:
+    """16-bit depth PNG -> metric meters (TUM stores depth*5000 as u16;
+    PIL's convert("L") would clamp to 8 bits and destroy the readings)."""
+    try:
+        from PIL import Image
+
+        im = Image.open(path)
+        if im.mode not in ("I", "I;16", "F"):
+            im = im.convert("I")
+        return np.asarray(im, np.float32) / factor
+    except ImportError:
+        return _imread_gray(path) / factor
+
+
 def _imread_gray(path: str) -> np.ndarray:
     """Minimal PNG/PGM reader (no cv2 dependency): PIL if present, else
     pure-numpy PGM."""
@@ -159,8 +173,9 @@ class TumRgbd:
                     self.depth[di][0] - ts):
                 di += 1
             img = _imread_gray(os.path.join(self.root, fn))
-            dimg = _imread_gray(os.path.join(self.root, self.depth[di][1]))
-            yield i, ts, img, dimg / self.DEPTH_FACTOR
+            dimg = _imread_depth(os.path.join(self.root, self.depth[di][1]),
+                                 self.DEPTH_FACTOR)
+            yield i, ts, img, dimg
 
 
 class EurocMav:

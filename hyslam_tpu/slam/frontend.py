@@ -53,6 +53,8 @@ def project_and_optimize(
     inv_sigma2: jnp.ndarray,   # [F] per-feature information
     th: float = 3.0,
     ratio: float = 0.8,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
 ) -> FrontendResult:
     """Projection-match the landmark table against the frame, then optimize
     the frame pose on the matched set: the TrackLocalMap hot pair
@@ -62,6 +64,7 @@ def project_and_optimize(
     res = search_by_projection_landmarks(
         cam, feats, Tcw0, lm_pos, lm_normal, lm_desc, lm_max_dist,
         lm_min_dist, lm_valid, jnp.zeros((F,), bool), th=th, ratio=ratio,
+        n_levels=n_levels, scale_factor=scale_factor,
     )
     lm_id = res.lm_for_feature
     X = lm_pos[jnp.clip(lm_id, 0, L - 1)]
@@ -114,5 +117,6 @@ def track_stereo_frame(
     res = project_and_optimize(
         cam, fl, Tcw0, lm_pos, lm_normal, lm_desc, lm_max_dist, lm_min_dist,
         lm_valid, inv_s2, th=th, ratio=ratio,
+        n_levels=cfg.n_levels, scale_factor=cfg.scale_factor,
     )
     return res, fl

@@ -87,11 +87,12 @@ def track_motion_model(
 
     lm_n, n_n = search_by_projection_frame(
         cam, cur_feats, Tcw_pred, last_feats, last_lm_id, last_pos,
-        th=p.match_radius,
+        th=p.match_radius, n_levels=n_levels, scale_factor=scale_factor,
     )
     lm_w, _ = search_by_projection_frame(
         cam, cur_feats, Tcw_pred, last_feats, last_lm_id, last_pos,
         th=p.inflation_factor * p.match_radius,
+        n_levels=n_levels, scale_factor=scale_factor,
     )
     lm_id = jnp.where(n_n >= p.n_min_matches, lm_n, lm_w)
     pos_table = ms.lm.pos[jnp.clip(lm_id, 0, ms.L - 1)]
@@ -260,6 +261,7 @@ def track_local_map(
         local.lm_pos, local.lm_normal, local.lm_desc,
         local.lm_max_dist, local.lm_min_dist, fresh,
         already_matched=already, th=p.match_radius, ratio=p.match_nnratio,
+        n_levels=n_levels, scale_factor=scale_factor,
     )
     new_lm = jnp.where(
         res.lm_for_feature >= 0,

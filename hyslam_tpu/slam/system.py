@@ -114,6 +114,40 @@ class System:
         return self.track_features(fl, timestamp, camera, frame_id,
                                    sensor_data)
 
+    def track_rgbd(self, img, depth, timestamp: float, camera: str = "SLAM",
+                   frame_id: int | None = None, sensor_data=None):
+        """RGB-D entry (BASELINE config #3; the reference retains only the
+        RGBD sensor enum, src/main/System.h:81 — ORB-SLAM2's TrackRGBD
+        synthesizes a stereo channel from registered depth, and this does
+        the same): extract mono features, sample the depth image at each
+        keypoint, and fill ur = u - bf/z + depth so the entire stereo
+        pipeline (close-point seeding, stereo BA residuals, culling
+        thresholds) applies unchanged.
+
+        `depth` is a registered metric depth image [H, W] (meters; <= 0 or
+        non-finite = no reading) at the RGB image's native resolution."""
+        cc = self.config.cameras[camera]
+        cam = self.cameras[camera]
+        gray = preprocess_image(jnp.asarray(img), cam.scale)
+        fam = self._families[camera]
+        feats = fam.extract(gray, capacity=self._capacity(cc))
+        dep = jnp.asarray(depth, jnp.float32)
+        H0, W0 = dep.shape
+        # sample depth at keypoints (nearest neighbor, native-res coords)
+        uv0 = feats.uv / cam.scale
+        ui = jnp.clip(jnp.round(uv0[:, 0]).astype(jnp.int32), 0, W0 - 1)
+        vi = jnp.clip(jnp.round(uv0[:, 1]).astype(jnp.int32), 0, H0 - 1)
+        z = dep[vi, ui]
+        ok = feats.valid & jnp.isfinite(z) & (z > 0.05)
+        feats = feats._replace(
+            ur=jnp.where(ok, feats.uv[:, 0] - cam.bf / jnp.maximum(z, 1e-6),
+                         -1.0),
+            depth=jnp.where(ok, z, -1.0),
+        )
+        self._maybe_dump_frame(camera, gray, feats)
+        return self.track_features(feats, timestamp, camera, frame_id,
+                                   sensor_data)
+
     def track_monocular(self, img, timestamp: float, camera: str = "SLAM",
                         frame_id: int | None = None, sensor_data=None):
         """System::TrackMonocular -> ImageProcessing::ProcessMonoImage:

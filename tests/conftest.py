@@ -13,11 +13,17 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+
+# HYSLAM_TEST_PLATFORM=tpu runs the suite on the real chip (the canonical
+# backend for the end-to-end proofs); default stays the 8-virtual-device
+# CPU mesh so sharding paths are exercised.
+_platform = os.environ.get("HYSLAM_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform if _platform != "tpu" else ""
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _platform != "tpu":
+    jax.config.update("jax_platforms", _platform)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
