@@ -42,6 +42,24 @@ from hyslam_tpu.solver.priors import (
 )
 
 
+def ba_problem_spec(p: BAProblem) -> BAProblem:
+    """PartitionSpec tree for a BAProblem under the 'lm' mesh axis: poses
+    and cameras replicated, landmark/observation blocks sharded. Exposed so
+    multi-process drivers can build global arrays with the same layout
+    (jax.make_array_from_callback) before calling
+    distributed_bundle_adjustment."""
+    rep = P()
+    lm = P("lm")
+    return BAProblem(
+        kf_Tcw=rep, kf_fixed=rep,
+        cams=type(p.cams)(*([rep] * len(p.cams))),
+        lm_pos=lm, lm_valid=lm,
+        obs=type(p.obs)(*([lm] * len(p.obs))),
+        priors=None if p.priors is None
+        else PosePriors(*([rep] * len(p.priors))),
+    )
+
+
 def distributed_bundle_adjustment(
     p: BAProblem,
     mesh: Mesh,
@@ -67,16 +85,9 @@ def distributed_bundle_adjustment(
     L = p.lm_pos.shape[0]
     assert L % n_shards == 0, f"L={L} not divisible by lm axis {n_shards}"
 
+    prob_spec = ba_problem_spec(p)
     rep = P()
     lm = P("lm")
-    cam_spec = type(p.cams)(*([rep] * len(p.cams)))
-    obs_spec = type(p.obs)(*([lm] * len(p.obs)))
-    prob_spec = BAProblem(
-        kf_Tcw=rep, kf_fixed=rep, cams=cam_spec, lm_pos=lm, lm_valid=lm,
-        obs=obs_spec,
-        priors=None if p.priors is None
-        else PosePriors(*([rep] * len(p.priors))),
-    )
 
     @partial(
         shard_map,
