@@ -485,7 +485,14 @@ def compute_spanning_parents(ms: MapState) -> MapState:
     w = jnp.where(ok, ms.covis, -1)
     best = jnp.argmax(w, axis=-1)
     has = jnp.max(w, axis=-1) > 0
-    parent = jnp.where(has & ms.kf.valid & ~ms.kf.bad, best, -1)
+    live = ms.kf.valid & ~ms.kf.bad
+    # recompute parents for LIVE keyframes only. A culled KF's
+    # (span_parent, Tcp) pair was frozen together at cull time
+    # (set_keyframes_bad) and is the only way trajectory re-anchoring can
+    # recover its frames' poses; zeroing it here left every frame whose
+    # reference KF was later culled permanently stuck at its pre-loop pose
+    # (measured: ~1.26 m frozen spikes after an otherwise clean closure).
+    parent = jnp.where(live, jnp.where(has, best, -1), ms.kf.span_parent)
     return ms._replace(kf=ms.kf._replace(span_parent=parent.astype(jnp.int32)))
 
 

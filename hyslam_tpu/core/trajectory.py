@@ -110,11 +110,16 @@ def refresh(traj: Trajectory, kf_Tcw: jnp.ndarray, kf_bad: jnp.ndarray,
         r2 = jnp.where(hop, kf_span_parent[rc], r)
         return (r2, T2), None
 
+    # walk bound = K: a bad-ancestor chain can be arbitrarily long under
+    # aggressive keyframe culling (measured: 8 hops left frames anchored on
+    # stale culled poses after a loop correction — ~1 m spikes in an
+    # otherwise corrected trajectory)
     (ref, Tcr_eff), _ = jax.lax.scan(
-        live_ref, (traj.ref_kf, traj.Tcr), None, length=8)
+        live_ref, (traj.ref_kf, traj.Tcr), None, length=K)
     refc = jnp.clip(ref, 0, K - 1)
     new_Tcw = Tcr_eff @ kf_Tcw[refc]
-    ok = traj.valid & (ref >= 0)
+    # a ref still bad after K hops has no live ancestor: keep the old pose
+    ok = traj.valid & (ref >= 0) & ~kf_bad[refc]
     return traj._replace(Tcw=jnp.where(ok[:, None, None], new_Tcw, traj.Tcw))
 
 

@@ -42,7 +42,17 @@ def sim3_ransac(
     [N], n_inliers). Convention matches Sim3Solver: estimates S12 such that
     X1 ~ S12 * X2."""
     N = X1.shape[0]
-    idx = jax.random.randint(key, (N_HYPOTHESES, 3), 0, N)
+    # sample 3-point sets FROM THE VALID PAIRS ONLY — uniform sampling over
+    # all padded slots makes a clean triple exponentially unlikely at
+    # realistic match fractions ((30 valid / 512 slots)^3 * 128 hypotheses
+    # ~= 0.03 valid triples: loop-closure Sim3 RANSAC found 0 inliers on
+    # the TPU longrun while the reference's Sim3Solver samples from its
+    # match list, Sim3Solver.h:33-55). Same fix as estimators/pnp.py.
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    idx = jax.random.categorical(
+        key, jnp.broadcast_to(logits, (N_HYPOTHESES * 3, N)), axis=-1
+    ).reshape(N_HYPOTHESES, 3)
+    idx = jnp.where(jnp.any(valid), idx, 0)
 
     def one(i3):
         return horn_sim3(X2[i3], X1[i3], fix_scale=fix_scale)

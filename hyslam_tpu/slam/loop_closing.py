@@ -42,6 +42,15 @@ CONSISTENCY_THRESHOLD = 3   # consecutive consistent detections
 COVIS_ESSENTIAL = 100       # covis weight for essential-graph edges
 KF_GAP = 10                 # min keyframes between loop closures
 
+import os as _os
+
+_DEBUG = bool(_os.environ.get("HYSLAM_LOOP_DEBUG"))
+
+
+def _dbg(*a):
+    if _DEBUG:
+        print("[loop]", *a, flush=True)
+
 
 @dataclass
 class LoopCloser:
@@ -56,9 +65,14 @@ class LoopCloser:
     # -- detection ----------------------------------------------------------
 
     def detect(self, ms: MapState, kf_id: int):
-        """Returns a consistent loop-candidate KF id or -1."""
+        """Returns the list of consistent loop-candidate KF ids (possibly
+        empty). ComputeSim3 is tried on EACH, mirroring the reference's
+        per-candidate loop (LoopClosing.cc:235-419 iterates all
+        consistency-enough candidates until one passes the Sim3 gates —
+        trying only the first loses closures whose best-scoring candidate
+        happens to fail the geometric check)."""
         if kf_id - self.last_loop_kf < KF_GAP:
-            return -1
+            return []
         desc = ms.kf.desc[kf_id]
         valid = ms.kf.kp_valid[kf_id]
         # only the needed covis ROWS are pulled to host (the full [K,K]
@@ -68,20 +82,26 @@ class LoopCloser:
         # min score among covisible neighbors
         nbrs = np.nonzero(my_row >= 15)[0]
         if len(nbrs) == 0:
-            return -1
+            return []
         scores = self.recognizer.scores(desc, valid)
         min_score = max(float(scores[nbrs].min()), 0.01)
         cands = self.recognizer.detect_loop_candidates(
             desc, valid, my_row, kf_id, min_score
         )
+        if _DEBUG:
+            top = np.argsort(-scores)[:6]
+            _dbg(f"kf={kf_id} min_score={min_score:.4f} "
+                 f"cands={cands} top_scores="
+                 + str([(int(t), round(float(scores[t]), 4)) for t in top])
+                 + f" consistency={[(sorted(g)[:6], c) for g, c in self.consistency]}")
         if not cands:
             self.consistency = []
-            return -1
+            return []
         # covisibility-consistency: a candidate's group must intersect a
         # previously seen group on CONSISTENCY_THRESHOLD consecutive KFs
         cand_rows = np.asarray(ms.covis[jnp.asarray(cands)])
         new_consistency = []
-        enough = -1
+        enough = []
         for c, row in zip(cands, cand_rows):
             group = set(np.nonzero(row >= 15)[0].tolist()) | {c}
             best_count = 0
@@ -89,8 +109,8 @@ class LoopCloser:
                 if group & prev_group:
                     best_count = max(best_count, count + 1)
             new_consistency.append((group, best_count))
-            if best_count + 1 >= CONSISTENCY_THRESHOLD and enough < 0:
-                enough = c
+            if best_count + 1 >= CONSISTENCY_THRESHOLD:
+                enough.append(c)
         self.consistency = new_consistency
         return enough
 
@@ -106,6 +126,7 @@ class LoopCloser:
             ms.kf.angle[cand],
             max_dist=50, ratio=0.75,
         )
+        _dbg(f"sim3 kf={kf_id} cand={cand} n_desc_matches={int(n)}")
         if int(n) < MIN_MATCHES_BOW:
             return False, None, 0
         lm_c = M.resolve_landmarks(ms, ms.kf.lm_id[kf_id])
@@ -127,15 +148,20 @@ class LoopCloser:
             self.cam, self.cam, X1, X2, uv1, uv2, is2_1, is2_2, pair_ok,
             jax.random.PRNGKey(kf_id), fix_scale=self.fix_scale,
         )
+        _dbg(f"sim3 kf={kf_id} pair_ok={int(jnp.sum(pair_ok))} "
+             f"ransac_inl={int(n_inl)}")
         if int(n_inl) < MIN_INLIERS_SIM3:
             return False, None, int(n_inl)
         g, inl, n_inl = optimize_sim3(
             self.cam, self.cam, g, X1, X2, uv1, uv2, is2_1, is2_2, pair_ok,
-            fix_scale=self.fix_scale,
+            fix_scale=self.fix_scale, seed_inliers=inl,
         )
+        _dbg(f"sim3 kf={kf_id} opt_inl={int(n_inl)}")
         if int(n_inl) < MIN_INLIERS_SIM3:
             return False, None, int(n_inl)
-        n_total = int(n_inl) + self._guided_harvest(ms, kf_id, cand, g)
+        n_harvest = self._guided_harvest(ms, kf_id, cand, g)
+        n_total = int(n_inl) + n_harvest
+        _dbg(f"sim3 kf={kf_id} harvest={n_harvest} total={n_total}")
         if n_total < MIN_MATCHES_TOTAL:
             return False, None, n_total
         return True, g, n_total
@@ -189,6 +215,14 @@ class LoopCloser:
         # corrected Sim3 of the current KF: S_cw = g_cl o S_lw
         S_lw = sim3.from_se3(ms.kf.Tcw[cand])
         S_cw_corr = sim3.compose(g_cl, S_lw)
+        if _DEBUG:
+            T_old = np.asarray(ms.kf.Tcw[kf_id])
+            T_new = np.asarray(sim3.to_se3_scaled(S_cw_corr))
+            dT = T_new @ np.linalg.inv(T_old)
+            _dbg(f"correct kf={kf_id} cand={cand} |dt|="
+                 f"{np.linalg.norm(dT[:3, 3]):.4f} m "
+                 f"dR_deg={np.degrees(np.arccos(np.clip((np.trace(dT[:3, :3]) - 1) / 2, -1, 1))):.2f} "
+                 f"scale={float(np.asarray(g_cl)[0]):.4f}")
 
         # propagation set: for an IN-MAP loop, the current covisibility
         # group (the reference's CorrectedSim3 set — drift is smooth within
@@ -239,6 +273,16 @@ class LoopCloser:
             sim3.to_se3_scaled(corrected))
         ms = ms._replace(kf=ms.kf._replace(Tcw=Tcw_new))
 
+        # snapshot the covis structure BEFORE fusion: pairs that first
+        # become covisible through the loop fuse are the reference's
+        # LoopConnections (LoopClosing.cc:552-570) — their essential-graph
+        # measurements must come from the CORRECTED poses, not Tcw_before
+        # (a "new" pair has no pre-loop odometry; measuring it from the
+        # uncorrected poses would re-inject exactly the error the loop
+        # just removed — measured: kf-pose ATE 0.109 -> 0.659 across the
+        # graph before this distinction existed)
+        covis_prev = np.asarray(ms.covis)
+
         # fuse loop-side landmarks into the current group
         cand_row = np.asarray(ms.covis[cand])
         loop_kfs = np.concatenate(
@@ -263,20 +307,26 @@ class LoopCloser:
         )
         self.loop_edges.append((int(kf_id), int(cand), np.asarray(meas)))
 
-        # essential-graph optimization (edge measurements from the
-        # PRE-correction poses; corrected KFs start at corrected poses)
-        ms = self.optimize_essential_graph(ms, fixed_kf=cand,
-                                           Tcw_meas=Tcw_before)
         # the loop evidence supersedes the reinit-time placement: refresh
         # registered submaps' tiepoint measurements to the corrected
-        # geometry so the next GBA's priors don't drag the map back to the
-        # (possibly wrong) extrapolated placement
+        # geometry BEFORE the essential graph runs — a stale (dead-
+        # reckoned) placement edge, even at weight 0.01, drags the chain:
+        # its rotation claim is cheap to partially absorb along the
+        # spanning edges yet displaces far keyframes by r*dtheta (measured
+        # 0.11 -> 0.49 m KF ATE across the graph with the stale tiepoint)
         ms = M.refresh_tiepoints(ms)
+        # essential-graph optimization (edge measurements from the
+        # PRE-correction poses; corrected KFs start at corrected poses;
+        # NEW post-fuse connections measured from corrected poses)
+        ms = self.optimize_essential_graph(ms, fixed_kf=cand,
+                                           Tcw_meas=Tcw_before,
+                                           covis_prev=covis_prev)
         self.last_loop_kf = kf_id
         return ms
 
     def optimize_essential_graph(self, ms: MapState, fixed_kf: int,
-                                 Tcw_meas: jnp.ndarray | None = None):
+                                 Tcw_meas: jnp.ndarray | None = None,
+                                 covis_prev: np.ndarray | None = None):
         """Build the Sim3 pose graph: spanning-tree edges + strong covis
         edges (>= 100) + accumulated loop edges; optimize and write back
         poses + landmark corrections (Optimizer::OptimizeEssentialGraph).
@@ -285,7 +335,13 @@ class LoopCloser:
         from (the reference's NonCorrectedSim3). Defaults to the current
         poses; CorrectLoop passes the pre-correction ones so the mismatch
         between corrected initial values and uncorrected measurements
-        drives the propagation."""
+        drives the propagation.
+
+        covis_prev: covisibility matrix BEFORE the loop fuse. Covis pairs
+        with covis_prev < 15 are NEW loop connections (the reference's
+        LoopConnections, LoopClosing.cc:552-570): they carry no pre-loop
+        odometry, so their measurements come from the CURRENT (corrected)
+        poses instead of Tcw_meas."""
         K = ms.K
         kf_ok = np.asarray(ms.kf.valid & ~ms.kf.bad)
         g0 = jax.vmap(sim3.from_se3)(ms.kf.Tcw)
@@ -341,6 +397,17 @@ class LoopCloser:
             meas = sim3.compose(g_all[jnp.asarray(ej)],
                                 sim3.inverse(g_all[jnp.asarray(ei)]))
             meas = np.asarray(meas)
+            if covis_prev is not None:
+                # NEW loop connections: measure from the corrected poses
+                # (covis rows only — spanning edges always pre-exist)
+                is_new = covis_prev[ei, ej] < 15
+                is_new[: len(sp_i)] = False
+                if np.any(is_new):
+                    g_cur = jax.vmap(sim3.from_se3)(ms.kf.Tcw)
+                    meas_cur = np.asarray(sim3.compose(
+                        g_cur[jnp.asarray(ej)],
+                        sim3.inverse(g_cur[jnp.asarray(ei)])))
+                    meas = np.where(is_new[:, None], meas_cur, meas)
         else:
             meas = np.zeros((0, 8), np.float32)
         if tie_i:
@@ -374,6 +441,19 @@ class LoopCloser:
         # constrained by its tiepoint edge and must stay free, otherwise a
         # loop correction cannot propagate through a reinitialized submap.
         fixed |= origin & ~reg[np.clip(kf_map, 0, len(reg) - 1)]
+        if _DEBUG and len(ei):
+            # per-edge residual translation magnitude at the initial values
+            rel = np.asarray(sim3.compose(
+                jnp.asarray(np.asarray(g0))[jnp.asarray(ej)],
+                sim3.inverse(jnp.asarray(np.asarray(g0))[jnp.asarray(ei)])))
+            dt_edge = np.linalg.norm(rel[:, 5:8] - meas[:, 5:8], axis=-1)
+            bad = np.argsort(-dt_edge * wts)[:12]
+            _dbg("essgraph edges:", len(ei), "fixed:",
+                 np.nonzero(fixed)[0].tolist())
+            for b in bad:
+                _dbg(f"  edge {int(ei[b])}->{int(ej[b])} w={wts[b]:.2f} "
+                     f"|dt_resid|={dt_edge[b]:.3f} "
+                     f"map=({kf_map[ei[b]]},{kf_map[ej[b]]})")
         g_opt = optimize_pose_graph(
             g0, jnp.asarray(fixed),
             jnp.asarray(ei), jnp.asarray(ej),
@@ -406,12 +486,18 @@ class LoopCloser:
         self.recognizer.add_keyframe(
             kf_id, ms.kf.desc[kf_id], ms.kf.kp_valid[kf_id]
         )
-        cand = self.detect(ms, kf_id)
-        if cand < 0:
-            return ms, False, {}
-        ok, g_cl, n = self.compute_sim3(ms, kf_id, cand)
-        if not ok:
-            return ms, False, {"sim3_inliers": n}
-        ms = self.correct(ms, kf_id, cand, g_cl)
-        self.n_closed += 1
-        return ms, True, {"loop_kf": cand, "sim3_inliers": n}
+        cands = self.detect(ms, kf_id)
+        last = {}
+        # bound the geometric checks per keyframe: with a noisy-vocabulary
+        # candidate stream every consistent candidate would otherwise get a
+        # full RANSAC+opt pass each KF (the reference's per-KF work is
+        # likewise bounded by its initial-candidate set)
+        for cand in cands[:3]:
+            ok, g_cl, n = self.compute_sim3(ms, kf_id, cand)
+            _dbg(f"kf={kf_id} cand={cand} sim3_ok={ok} n={n}")
+            if ok:
+                ms = self.correct(ms, kf_id, cand, g_cl)
+                self.n_closed += 1
+                return ms, True, {"loop_kf": cand, "sim3_inliers": n}
+            last = {"sim3_inliers": n}
+        return ms, False, last

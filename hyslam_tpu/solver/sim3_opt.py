@@ -33,8 +33,18 @@ def optimize_sim3(
     valid: jnp.ndarray,
     fix_scale: bool = False,
     n_iters: int = 10,
+    seed_inliers: jnp.ndarray | None = None,
 ):
-    """Returns (g12 refined, inliers [N], n_inliers)."""
+    """Returns (g12 refined, inliers [N], n_inliers).
+
+    seed_inliers: optional [N] mask of the pairs the FIRST robust pass
+    trusts (e.g. the Sim3-RANSAC consensus set). The reference optimizes
+    over all matches and relies on Huber + chi2 removal (Optimizer.cc:
+    554-769), which collapses when the match set is outlier-dominated
+    (measured: 187 matches / 24 geometric inliers pulled the solution off
+    and left 0 final inliers). Seeding the first pass with the consensus
+    set keeps the basin; reclassification below still runs over ALL valid
+    pairs, so genuine matches outside the seed are recovered."""
     delta2 = 10.0  # reference deltaHuber = sqrt(10)
 
     def residuals(g):
@@ -88,7 +98,8 @@ def optimize_sim3(
         lam_out = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e5)
         return (g_out, lam_out, active), None
 
-    active0 = valid.astype(jnp.float32)
+    seed = valid if seed_inliers is None else (valid & seed_inliers)
+    active0 = seed.astype(jnp.float32)
     (g, _, _), _ = jax.lax.scan(
         lm_iter, (g12, jnp.asarray(1e-3), active0), None, length=n_iters
     )

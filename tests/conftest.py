@@ -34,6 +34,19 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_compiler_state():
+    """Clear JAX's compilation caches after every test module. A full-suite
+    run compiles hundreds of distinct executables on the 8-virtual-device
+    CPU backend; letting that state accumulate ends with a segfault inside
+    XLA's backend_compile (observed at ~98% of the suite). Per-module
+    clearing bounds it; modules rarely share jit signatures anyway."""
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long end-to-end runs (the rendered-circuit "

@@ -114,6 +114,48 @@ class TestSim3Ransac:
 
 
 class TestOptimizeSim3:
+    def test_padded_sparse_matches(self, rng):
+        """Loop-closure operating point: a 512-slot padded feature table
+        with only ~30 valid matched pairs, 40% of them mismatched. RANSAC
+        must sample its triples from the valid pairs (uniform sampling over
+        padded slots gives (30/512)^3*128 ~ 0.03 valid hypotheses — the
+        round-4 TPU longrun found 0 inliers) and optimize_sim3 must stay in
+        the RANSAC basin when seeded (unseeded, the 40% outlier mass pulled
+        it off: 24 ransac inliers -> 0 after refinement)."""
+        cam = DEFAULT_CAM
+        F, n_pairs, n_bad = 512, 30, 12
+        Xw = jnp.asarray(make_world(rng, F, extent=(4.0, 3.0, 10.0), z_min=3.0))
+        g_true = sim3.pack(
+            jnp.asarray(1.0), so3.exp(jnp.asarray([0.02, -0.05, 0.01])),
+            jnp.asarray([0.35, 0.0, 0.35]),
+        )
+        X1 = Xw
+        X2 = np.array(sim3.apply(sim3.inverse(g_true), X1))
+        # mismatches: wrong correspondences for n_bad of the pairs
+        bad = rng.choice(n_pairs, n_bad, replace=False)
+        X2[bad] = X2[rng.permutation(bad)] + rng.uniform(0.5, 1.5, (n_bad, 3))
+        uv1, _ = project(cam, X1)
+        uv2, _ = project(cam, jnp.asarray(X2))
+        valid = np.zeros(F, bool)
+        valid[:n_pairs] = True
+        g, inl, n = sim3_ransac(
+            cam, cam, X1, jnp.asarray(X2), uv1, uv2,
+            jnp.ones(F), jnp.ones(F), jnp.asarray(valid),
+            jax.random.PRNGKey(3), fix_scale=True,
+        )
+        assert int(n) >= n_pairs - n_bad - 3, f"ransac inliers {int(n)}"
+        g2, inl2, n2 = optimize_sim3(
+            cam, cam, g, X1, jnp.asarray(X2), uv1, uv2,
+            jnp.ones(F), jnp.ones(F), jnp.asarray(valid),
+            fix_scale=True, seed_inliers=inl,
+        )
+        assert int(n2) >= n_pairs - n_bad - 3, f"opt inliers {int(n2)}"
+        err = jnp.linalg.norm(
+            sim3.apply(g2, jnp.asarray(X2))[:n_pairs][~np.isin(
+                np.arange(n_pairs), bad)]
+            - X1[:n_pairs][~np.isin(np.arange(n_pairs), bad)], axis=-1)
+        assert float(jnp.median(err)) < 0.05
+
     def test_refines_perturbed(self, rng):
         cam = DEFAULT_CAM
         N = 80

@@ -196,6 +196,51 @@ class TestBadAndReplace:
         if par_before[2] == 1:
             assert par[2] == 0  # lifted to grandparent
 
+    def test_spanning_recompute_preserves_culled_anchors(self):
+        """compute_spanning_parents after a cull must NOT wipe the culled
+        keyframes' frozen (span_parent, Tcp) pair — trajectory re-anchoring
+        composes Tcp with the live ancestor's pose, and a -1 parent leaves
+        every frame referencing the culled KF permanently stuck at its
+        stale pose (the round-4 loop-closure regression: ~1.26 m frozen
+        spikes in an otherwise corrected trajectory)."""
+        from hyslam_tpu.core import trajectory as TJ
+
+        ms, k0, k1, lm_idx = ms_with_two_kfs()
+        f2 = feats_with(5, seed=3)
+        assoc = np.full(32, -1, np.int32)
+        assoc[:5] = lm_idx[:5]
+        T2 = np.eye(4, dtype=np.float32)
+        T2[0, 3] = 0.7
+        ms, k2 = add_keyframe(ms, f2, jnp.asarray(T2), 2.0, 2, 0,
+                              jnp.asarray(assoc))
+        ms = refresh_covisibility(ms)
+        ms = compute_spanning_parents(ms)
+        # record a trajectory frame referenced to k1 before culling it
+        traj = TJ.empty_trajectory(16)
+        Tf = np.asarray(ms.kf.Tcw[k1])
+        traj = TJ.append(traj, 1.0, jnp.asarray(Tf), k1,
+                         ms.kf.Tcw[k1], True)
+        bad = np.zeros(8, bool)
+        bad[int(k1)] = True
+        ms = set_keyframes_bad(ms, jnp.asarray(bad))
+        # the mapper's cull path refreshes covis + spanning afterwards
+        ms = refresh_covisibility(ms)
+        ms = compute_spanning_parents(ms)
+        par = np.asarray(ms.kf.span_parent)
+        assert par[int(k1)] >= 0, "culled KF lost its frozen parent"
+        # move the whole map; the frame must re-anchor through the culled
+        # KF's Tcp onto the live parent's new pose
+        dT = np.eye(4, dtype=np.float32)
+        dT[1, 3] = 2.5
+        ms = ms._replace(kf=ms.kf._replace(
+            Tcw=jnp.asarray(dT) @ ms.kf.Tcw))
+        traj = TJ.refresh(traj, ms.kf.Tcw, ms.kf.bad, ms.kf.span_parent,
+                          ms.kf.Tcp)
+        got = np.asarray(traj.Tcw[0])
+        want = dT @ Tf
+        assert np.allclose(got, want, atol=1e-4), (
+            f"frame did not follow the map move:\n{got}\nvs\n{want}")
+
     def test_origin_not_erasable(self):
         ms, k0, _, _ = ms_with_two_kfs()
         bad = np.ones(8, bool)
