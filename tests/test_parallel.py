@@ -42,6 +42,32 @@ class TestDistributedBA:
         assert np.isfinite(float(res.cost))
 
 
+class TestDistributedBA2D:
+    """Keyframe-AND-landmark sharded BA on a (kf=2, lm=4) mesh: the column-
+    sharded Schur system must reach the same optimum as the single-device
+    solver (BASELINE north star: partition keyframes and map blocks per
+    host)."""
+
+    def test_matches_single_device(self, rng):
+        from hyslam_tpu.parallel.dist_ba import (
+            distributed_bundle_adjustment_2d,
+        )
+        from hyslam_tpu.parallel.mesh import make_mesh_2d
+
+        prob, Ts_true, _ = build_ba_problem(rng, n_kf=8, n_lm=160)
+        mesh = make_mesh_2d(8, kf=2)
+        assert mesh.shape == {"kf": 2, "lm": 4}
+        res_d = distributed_bundle_adjustment_2d(
+            prob, mesh, n_iters=6, chunk=20)
+        res_s = bundle_adjustment(prob, n_iters=6, chunk=20, solver="cg")
+        for k in range(len(Ts_true)):
+            rot, tr = pose_error(np.asarray(res_d.kf_Tcw[k]),
+                                 np.asarray(res_s.kf_Tcw[k]))
+            assert rot < 0.05 and tr < 0.01, (k, rot, tr)
+        assert abs(float(res_d.cost) - float(res_s.cost)) \
+            < 0.1 * float(res_s.cost) + 5.0
+
+
 def test_extract_cameras_sharded_matches_unsharded(rng):
     """Camera-axis-sharded extraction (parallel.multicam) must equal the
     single-device batched program."""
