@@ -66,6 +66,11 @@ def bench_system_fps(n_warm: int = 24, n_timed: int = 60) -> float:
     sysm = System(SystemConfig(
         cameras={"SLAM": cc}, caps=MapCaps(K=64, L=16384, F=1024, O=8),
         enable_loop_closing=False,
+        # the production driver is the reference's 4-thread topology
+        # (tracking + mapping over native queues with overflow shedding,
+        # System.cc:194 / Mapping.cpp:285-304); the system rate is the
+        # tracking-side rate with the mapper running concurrently
+        pipelined=True,
     ))
 
     rng = np.random.default_rng(0)
@@ -87,9 +92,11 @@ def bench_system_fps(n_warm: int = 24, n_timed: int = 60) -> float:
 
     for i in range(n_warm):
         sysm.track_stereo(*frames[i], timestamp=0.05 * i, frame_id=i)
+    sysm.flush()                       # drain compiles out of the timing
     t0 = time.perf_counter()
     for i in range(n_warm, n_total):
         sysm.track_stereo(*frames[i], timestamp=0.05 * i, frame_id=i)
+    sysm.flush()                       # count the mapper's concurrent work
     dt = time.perf_counter() - t0
     return n_timed / dt
 

@@ -309,12 +309,23 @@ def add_landmarks(
     keyframes (MapPoint protection / LandMarkCuller grace period)."""
     N = pos.shape[0]
     L = ms.L
-    # slot for each masked-in row: cursor + prefix-sum rank
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    slots = ms.next_lm + rank
-    ok = mask & (slots < L)
-    tgt = jnp.where(ok, jnp.clip(slots, 0, L - 1), L)  # L => dropped scatter
     lm = ms.lm
+    # allocate into FREE rows: never used, or culled with the protection
+    # window expired (their kf.lm_id references were detached at cull time,
+    # and replace() rewrote references of fused-away rows). A monotonic
+    # cursor exhausted the arena on long sequences — 600-frame run hit the
+    # L cap at frame ~120 and every later allocation (incl. re-init
+    # seeding) silently failed, so the tracker thrashed REINITIALIZE for
+    # the rest of the sequence. Recycling makes the fixed-capacity arena +
+    # culling a real long-run memory policy (SURVEY §5 long-sequence axes).
+    free = (~lm.valid) | (lm.bad & (lm.protection <= 0))
+    n_free = jnp.sum(free.astype(jnp.int32))
+    # free slots first (ascending index), then occupied
+    order = jnp.argsort(jnp.where(free, jnp.arange(L), L + jnp.arange(L)))
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    ok = mask & (rank < n_free)
+    slots = order[jnp.clip(rank, 0, L - 1)]
+    tgt = jnp.where(ok, slots, L)  # L => dropped scatter
     lm = lm._replace(
         pos=lm.pos.at[tgt].set(pos, mode="drop"),
         desc=lm.desc.at[tgt].set(desc, mode="drop"),
@@ -566,6 +577,10 @@ def set_landmarks_bad(ms: MapState, bad_mask: jnp.ndarray) -> MapState:
         bad=ms.lm.bad | bad_mask,
         obs_valid=ms.lm.obs_valid & ~bad_mask[:, None],
         n_obs=jnp.where(bad_mask, 0, ms.lm.n_obs),
+        # a bad row's slot is recyclable (add_landmarks free-list); clear
+        # any remaining protection so young culled/fused rows don't pin
+        # arena capacity forever
+        protection=jnp.where(bad_mask, 0, ms.lm.protection),
     )
     # clear KF-side references
     ref = jnp.clip(ms.kf.lm_id, 0, ms.L - 1)
@@ -594,7 +609,9 @@ def replace_landmarks(ms: MapState, src: jnp.ndarray, dst: jnp.ndarray,
     table = table.at[srcc].set(dst, mode="drop")
     kf_ref = ms.kf.lm_id
     kf_new = jnp.where(kf_ref >= 0, table[jnp.clip(kf_ref, 0, L - 1)], kf_ref)
-    lm = ms.lm._replace(replaced_by=repl, bad=bad, obs_valid=obs_valid)
+    prot = ms.lm.protection.at[srcc].set(0, mode="drop")
+    lm = ms.lm._replace(replaced_by=repl, bad=bad, obs_valid=obs_valid,
+                        protection=prot)
     return ms._replace(lm=lm, kf=ms.kf._replace(lm_id=kf_new))
 
 

@@ -77,8 +77,13 @@ def cull_landmarks(ms: MapState, cur_kf_id, params: MapperParams,
         & (age <= params.kf_grace_period + 1)
         & (lm.n_obs <= thresh)
     )
+    # orphans: rows that lost ALL observations (their observers were
+    # culled / associations erased) are unreachable by matching and BA —
+    # dead weight that pins arena slots on long sequences
+    orphan = (lm.valid & ~lm.bad & (lm.n_obs == 0)
+              & (age > params.kf_grace_period + 1))
     ms = ms._replace(lm=lm._replace(protection=prot))
-    return M.set_landmarks_bad(ms, cull)
+    return M.set_landmarks_bad(ms, cull | orphan)
 
 
 # ---------------------------------------------------------------------------

@@ -241,6 +241,48 @@ class TestBadAndReplace:
         assert np.allclose(got, want, atol=1e-4), (
             f"frame did not follow the map move:\n{got}\nvs\n{want}")
 
+    def test_landmark_slots_recycle(self):
+        """Culled landmark rows must be reusable: a monotonic allocation
+        cursor exhausted the fixed-capacity arena on long sequences (600-
+        frame run hit the L cap at frame ~120, after which every new
+        allocation — including re-initialization seeding — silently
+        failed)."""
+        ms, k0, k1, lm_idx = ms_with_two_kfs()
+        L = ms.L
+        # fill the arena completely
+        n_live = int(np.asarray(ms.lm.valid.sum()))
+        f = feats_with(32, seed=7)
+        pos = np.tile([0.0, 0.0, 6.0], (32, 1)).astype(np.float32)
+        while n_live < L:
+            ms, idx = add_landmarks(
+                ms, jnp.asarray(pos), f.desc, k0,
+                jnp.arange(32, dtype=jnp.int32),
+                jnp.ones(32, bool), protection=0,
+            )
+            got = int(np.asarray((np.asarray(idx) >= 0).sum()))
+            if got == 0:
+                break
+            n_live += got
+        assert int(np.asarray(ms.lm.valid.sum())) == L
+        # full: new allocation must fail...
+        ms, idx = add_landmarks(
+            ms, jnp.asarray(pos[:4]), f.desc[:4], k0,
+            jnp.arange(4, dtype=jnp.int32), jnp.ones(4, bool))
+        assert (np.asarray(idx) == -1).all()
+        # ...until slots are culled, after which they are reused
+        bad = np.zeros(L, bool)
+        bad[np.asarray(lm_idx[:6])] = True
+        ms = set_landmarks_bad(ms, jnp.asarray(bad))
+        ms, idx = add_landmarks(
+            ms, jnp.asarray(pos[:4]), f.desc[:4], k0,
+            jnp.arange(4, dtype=jnp.int32), jnp.ones(4, bool))
+        idx = np.asarray(idx)
+        assert (idx >= 0).all(), "culled slots were not recycled"
+        assert set(idx.tolist()) <= set(np.asarray(lm_idx[:6]).tolist())
+        # recycled rows come back clean
+        assert not np.asarray(ms.lm.bad)[idx].any()
+        assert (np.asarray(ms.lm.n_obs)[idx] == 1).all()  # creator binding
+
     def test_origin_not_erasable(self):
         ms, k0, _, _ = ms_with_two_kfs()
         bad = np.ones(8, bool)
