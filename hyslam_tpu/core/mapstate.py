@@ -35,6 +35,10 @@ from hyslam_tpu.ops.hamming import hamming_pairwise
 COVIS_THRESHOLD = 15  # min shared landmarks for a covisibility edge
                       # (CovisibilityGraph.h: threshold 15)
 MAX_MAPS = 32         # sub-map tree capacity
+RECYCLE_DELAY = 2     # mapper passes a freed landmark slot stays
+                      # unallocatable (set_landmarks_bad / replace; ticked
+                      # down in mapper.cull_landmarks) so stale host-held
+                      # indices re-resolve against the bad flag first
 MAP_TREE_DEPTH = 8    # max nesting resolved by root()
 
 
@@ -310,18 +314,26 @@ def add_landmarks(
     N = pos.shape[0]
     L = ms.L
     lm = ms.lm
-    # allocate into FREE rows: never used, or culled with the protection
-    # window expired (their kf.lm_id references were detached at cull time,
-    # and replace() rewrote references of fused-away rows). A monotonic
-    # cursor exhausted the arena on long sequences — 600-frame run hit the
-    # L cap at frame ~120 and every later allocation (incl. re-init
-    # seeding) silently failed, so the tracker thrashed REINITIALIZE for
-    # the rest of the sequence. Recycling makes the fixed-capacity arena +
-    # culling a real long-run memory policy (SURVEY §5 long-sequence axes).
-    free = (~lm.valid) | (lm.bad & (lm.protection <= 0))
-    n_free = jnp.sum(free.astype(jnp.int32))
-    # free slots first (ascending index), then occupied
-    order = jnp.argsort(jnp.where(free, jnp.arange(L), L + jnp.arange(L)))
+    # Allocation policy: VIRGIN slots first (ascending — exactly the
+    # monotonic cursor the system was tuned on), recycled slots only when
+    # the virgin region is exhausted. A monotonic cursor alone exhausted
+    # the arena on long sequences — the 600-frame soak hit the L cap at
+    # frame ~120 and every later allocation (incl. re-init seeding)
+    # silently failed, so the tracker thrashed REINITIALIZE for the rest
+    # of the sequence. But eager reuse measurably degrades tracking (r4
+    # regression: dual-camera SLAM inliers dropped ~30% when fresh
+    # landmarks landed in recycled low-index slots), so recycled rows are
+    # strictly a spill region. A freed (bad) row additionally only
+    # becomes allocatable after its RECYCLE_DELAY countdown expires
+    # (ticked in mapper.cull_landmarks), so no slot is reallocated in the
+    # same integrate pass that freed it and stale host-held indices
+    # re-resolve against the bad flag first (ADVICE r4 medium).
+    virgin = ~lm.valid
+    recycled = lm.valid & lm.bad & (lm.protection <= 0)
+    n_free = jnp.sum((virgin | recycled).astype(jnp.int32))
+    idx = jnp.arange(L)
+    key = jnp.where(virgin, idx, jnp.where(recycled, L + idx, 2 * L + idx))
+    order = jnp.argsort(key)
     rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
     ok = mask & (rank < n_free)
     slots = order[jnp.clip(rank, 0, L - 1)]
@@ -430,6 +442,13 @@ def camera_centers(ms: MapState) -> jnp.ndarray:
     R = ms.kf.Tcw[:, :3, :3]
     t = ms.kf.Tcw[:, :3, 3]
     return -jnp.einsum("kji,kj->ki", R, t)
+
+
+def n_live_landmarks(ms: MapState) -> jnp.ndarray:
+    """Count of live landmarks (valid & not bad). With slot recycling,
+    next_lm counts cumulative allocations — not map size — so telemetry
+    and exports report this instead (ADVICE r4)."""
+    return jnp.sum((ms.lm.valid & ~ms.lm.bad).astype(jnp.int32))
 
 
 def resolve_landmarks(ms: MapState, lm_idx: jnp.ndarray) -> jnp.ndarray:
@@ -577,10 +596,10 @@ def set_landmarks_bad(ms: MapState, bad_mask: jnp.ndarray) -> MapState:
         bad=ms.lm.bad | bad_mask,
         obs_valid=ms.lm.obs_valid & ~bad_mask[:, None],
         n_obs=jnp.where(bad_mask, 0, ms.lm.n_obs),
-        # a bad row's slot is recyclable (add_landmarks free-list); clear
-        # any remaining protection so young culled/fused rows don't pin
-        # arena capacity forever
-        protection=jnp.where(bad_mask, 0, ms.lm.protection),
+        # a bad row's slot becomes recyclable (add_landmarks free-list)
+        # only after RECYCLE_DELAY further mapper passes: stale host-held
+        # indices must observe the bad flag before the slot can alias
+        protection=jnp.where(bad_mask, RECYCLE_DELAY, ms.lm.protection),
     )
     # clear KF-side references
     ref = jnp.clip(ms.kf.lm_id, 0, ms.L - 1)
@@ -609,7 +628,7 @@ def replace_landmarks(ms: MapState, src: jnp.ndarray, dst: jnp.ndarray,
     table = table.at[srcc].set(dst, mode="drop")
     kf_ref = ms.kf.lm_id
     kf_new = jnp.where(kf_ref >= 0, table[jnp.clip(kf_ref, 0, L - 1)], kf_ref)
-    prot = ms.lm.protection.at[srcc].set(0, mode="drop")
+    prot = ms.lm.protection.at[srcc].set(RECYCLE_DELAY, mode="drop")
     lm = ms.lm._replace(replaced_by=repl, bad=bad, obs_valid=obs_valid,
                         protection=prot)
     return ms._replace(lm=lm, kf=ms.kf._replace(lm_id=kf_new))

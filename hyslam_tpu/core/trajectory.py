@@ -61,9 +61,16 @@ def append(
     ref_kf,
     ref_Tcw: jnp.ndarray,
     good,
+    commit=True,
 ) -> Trajectory:
     """Append one frame (Trajectory::push_back, Trajectory.cc:98): stores
-    Tcr = Tcw @ ref_Tcw^-1 and the velocity vs the previous element."""
+    Tcr = Tcw @ ref_Tcw^-1 and the velocity vs the previous element.
+
+    `commit` (traced bool) gates the cursor advance: with commit=False the
+    slot is scribbled but `size` stays, so the next successful append
+    overwrites it — the device-resident analog of "no trajectory entry for
+    a lost frame" used by the async tracking step (every consumer masks by
+    the cursor)."""
     i = traj.size
     prev = jnp.clip(i - 1, 0, traj.capacity - 1)
     has_prev = i > 0
@@ -81,8 +88,8 @@ def append(
         vel=traj.vel.at[i].set(v),
         dt=traj.dt.at[i].set(dt),
         good=traj.good.at[i].set(good),
-        valid=traj.valid.at[i].set(True),
-        size=i + 1,
+        valid=traj.valid.at[i].set(jnp.asarray(commit, bool)),
+        size=i + jnp.asarray(commit, jnp.int32),
     )
 
 

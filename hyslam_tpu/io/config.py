@@ -106,6 +106,14 @@ class SystemConfig:
                               # (tracking + mapping/loop-closing threads over
                               # native queues, runtime.pipeline) instead of
                               # the synchronous in-caller path
+    async_tracking: bool = False
+                              # zero-host-sync tracking loop: ONE device
+                              # program per frame, decisions committed
+                              # commit_lag frames later from an async scalar
+                              # fetch (the TPU-native production driver —
+                              # the device command queue IS the pipeline)
+    commit_lag: int = 2       # decision latency of the async loop (the
+                              # reference's tracking queue depth analog)
     run_data_dir: Optional[str] = None  # enables TSV telemetry logs
                                         # (./run_data in the reference,
                                         # Tracking.cpp:51-55)
@@ -154,4 +162,6 @@ def load_config(path: str) -> SystemConfig:
     cfg.vocab_path = raw.get("vocab_path")
     cfg.run_data_dir = raw.get("run_data_dir")
     cfg.pipelined = bool(raw.get("pipelined", False))
+    cfg.async_tracking = bool(raw.get("async_tracking", False))
+    cfg.commit_lag = int(raw.get("commit_lag", 2))
     return cfg

@@ -47,11 +47,16 @@ PATCH_MASK = _CIRC.reshape(-1)
 
 
 def _gather_pixels(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
-    """Clamped 2D gather: img [H, W], ys/xs [...] int32 -> [...]."""
+    """Clamped 2D gather: img [H, W], ys/xs [...] int32 -> [...].
+
+    Linearized to a 1D take on the flattened image: XLA lowers a 1-D
+    gather ~30% faster than the 2-D advanced-indexing form on TPU
+    (measured 8.5 vs 11.6 ms for the 1M-sample orientation patch batch,
+    PROFILE_r05.md)."""
     h, w = img.shape
     ys = jnp.clip(ys, 0, h - 1)
     xs = jnp.clip(xs, 0, w - 1)
-    return img[ys, xs]
+    return jnp.take(img.reshape(-1), ys * w + xs)
 
 
 @jax.jit

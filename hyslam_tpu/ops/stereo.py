@@ -87,17 +87,29 @@ def refine_subpixel(
     xr0 = jnp.round(ur0).astype(jnp.int32)
 
     w = jnp.arange(-_SAD_R, _SAD_R + 1)
+    h, W_ = img_l.shape
+
+    def take2d(img, ys, xs):
+        # 1-D take on the flattened image: lowers ~30% faster than 2-D
+        # advanced indexing on TPU (see ops/orb._gather_pixels)
+        ys = jnp.clip(ys, 0, h - 1)
+        xs = jnp.clip(xs, 0, W_ - 1)
+        return jnp.take(img.reshape(-1), ys * W_ + xs)
+
     wy = y0[:, None, None] + w[None, :, None]           # [N, 11, 1]
     wxl = x0[:, None, None] + w[None, None, :]          # [N, 1, 11]
-    h, W_ = img_l.shape
-    patch_l = img_l[jnp.clip(wy, 0, h - 1), jnp.clip(wxl, 0, W_ - 1)]  # [N,11,11]
+    patch_l = take2d(img_l, jnp.broadcast_to(wy, wy.shape[:1] + (11, 11)),
+                     jnp.broadcast_to(wxl, wxl.shape[:1] + (11, 11)))
     # normalize by center intensity like the reference (IL - IL(center))
     patch_l = patch_l - patch_l[:, _SAD_R : _SAD_R + 1, _SAD_R : _SAD_R + 1]
 
     shifts = jnp.arange(-_SEARCH, _SEARCH + 1)          # [9]
     wxr = xr0[:, None, None, None] + shifts[None, :, None, None] + w[None, None, None, :]
     wyr = y0[:, None, None, None] + w[None, None, :, None]
-    patch_r = img_r[jnp.clip(wyr, 0, h - 1), jnp.clip(wxr, 0, W_ - 1)]  # [N,9,11,11]
+    n_sh = shifts.shape[0]
+    full = (x0.shape[0], n_sh, 11, 11)
+    patch_r = take2d(img_r, jnp.broadcast_to(wyr, full),
+                     jnp.broadcast_to(wxr, full))
     patch_r = patch_r - patch_r[:, :, _SAD_R : _SAD_R + 1, _SAD_R : _SAD_R + 1]
 
     sad = jnp.sum(jnp.abs(patch_r - patch_l[:, None]), axis=(-1, -2))  # [N, 9]

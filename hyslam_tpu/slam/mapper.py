@@ -42,6 +42,11 @@ class MapperParams(NamedTuple):
     min_lm_obs_mono: int = 2
     min_lm_obs_stereo: int = 3
     kf_grace_period: int = 3
+    orphan_age: int = 0   # >0: cull landmarks that lost ALL observations
+                          # once older than this many keyframes (long-run
+                          # arena policy for the 600-frame soaks; 0 keeps
+                          # zombie points alive for frame-to-frame chains —
+                          # the behavior the dual-camera flagship relies on)
     triang_nn_stereo: int = 10
     triang_nn_mono: int = 15
     triang_ratio_factor: float = 1.8
@@ -70,6 +75,10 @@ def cull_landmarks(ms: MapState, cur_kf_id, params: MapperParams,
     age = cur_kf_id - lm.first_kf
     in_review = recent & (age <= params.kf_grace_period + 1)
     prot = jnp.where(in_review & (lm.protection > 0), lm.protection - 1, lm.protection)
+    # freed (bad) rows tick toward reallocation eligibility: their
+    # RECYCLE_DELAY countdown gates the add_landmarks free-list so a slot
+    # is never reused in the pass that freed it (mapstate.RECYCLE_DELAY)
+    prot = jnp.where(lm.bad & (lm.protection > 0), lm.protection - 1, prot)
     cull = (
         recent
         & (prot == 0)
@@ -78,10 +87,15 @@ def cull_landmarks(ms: MapState, cur_kf_id, params: MapperParams,
         & (lm.n_obs <= thresh)
     )
     # orphans: rows that lost ALL observations (their observers were
-    # culled / associations erased) are unreachable by matching and BA —
-    # dead weight that pins arena slots on long sequences
+    # culled / associations erased) are invisible to local-map matching and
+    # BA — dead weight that pins arena slots on long sequences. They can
+    # still ride frame-to-frame motion-model chains (and are re-bound with
+    # an observation whenever a keyframe is made from a frame that matches
+    # them), so the age threshold is a policy knob: 0 disables (flagship
+    # behavior), soak drivers set ~6 for the long-run arena budget.
     orphan = (lm.valid & ~lm.bad & (lm.n_obs == 0)
-              & (age > params.kf_grace_period + 1))
+              & (age > params.orphan_age)
+              & (jnp.asarray(params.orphan_age, jnp.int32) > 0))
     ms = ms._replace(lm=lm._replace(protection=prot))
     return M.set_landmarks_bad(ms, cull | orphan)
 
@@ -658,7 +672,16 @@ class Mapper:
 
     def integrate_keyframe(self, ms: MapState, kf_id: int,
                            budget_level: int = 2, cull_kfs: bool = True,
-                           sensors=None, opt_info=None):
+                           sensors=None, opt_info=None,
+                           fetch_stats: bool = True,
+                           has_priors: bool | None = None):
+        """With fetch_stats=False the whole job sequence is dispatch-only
+        (ZERO host syncs): the packed counters ride back as a device handle
+        under stats["counters"] for async consumers; kf_id may be a traced
+        device scalar. `has_priors` lets the caller supply the host-known
+        sensor/tiepoint flag instead of the device check (the async tracking
+        loop maintains it exactly — every set_sensor/register_submap is a
+        host-side event)."""
         stats = {}
         p = self.params
         ms, counters = _integrate_core(ms, kf_id, p, self.cam, self.is_mono,
@@ -668,12 +691,13 @@ class Mapper:
             # sensor/tiepoint priors only exist once a sensor reading was
             # attached or a submap registered; the fast path keeps the whole
             # local-BA job in one program (ONE cheap flag sync per KF)
-            use_priors = bool(np.asarray(
-                jnp.any(ms.maps.registered)
-                | (jnp.any(sensors.gps_valid) | jnp.any(sensors.quat_valid)
-                   | jnp.any(sensors.depth_valid)
-                   if sensors is not None else False)))
-            if use_priors:
+            if has_priors is None:
+                has_priors = bool(np.asarray(
+                    jnp.any(ms.maps.registered)
+                    | (jnp.any(sensors.gps_valid) | jnp.any(sensors.quat_valid)
+                       | jnp.any(sensors.depth_valid)
+                       if sensors is not None else False)))
+            if has_priors:
                 ms, cost = local_bundle_adjustment(
                     ms, kf_id, self.cam, sensors=sensors, opt_info=opt_info,
                     n_levels=self.n_levels, scale_factor=self.scale_factor)
@@ -684,8 +708,12 @@ class Mapper:
             if cull_kfs and not self.is_mono:
                 ms, n_cull = _cull_keyframes_jit(ms, kf_id, self.cam, p)
                 counters = jnp.concatenate([counters, n_cull[None]])
-            stats["ba_cost"] = float(cost)
+            if fetch_stats:
+                stats["ba_cost"] = float(cost)
         self.kf_count += 1
+        if not fetch_stats:
+            stats["counters"] = counters   # device handle, no sync
+            return ms, stats
         c = np.asarray(counters)   # ONE host sync for all job counters
         if budget_level >= 1:
             stats["triangulated"] = int(c[0])

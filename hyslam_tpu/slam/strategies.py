@@ -22,6 +22,7 @@ from hyslam_tpu.features.matcher import (
     search_by_projection_frame,
     search_by_projection_landmarks,
 )
+from hyslam_tpu.geometry import se3
 from hyslam_tpu.geometry.camera import Camera
 from hyslam_tpu.slam.localmap import LocalMap, build_local_map
 from hyslam_tpu.slam.tracking_params import (
@@ -230,6 +231,89 @@ def track_normal_frame(
         local_ref_kf=lres.local.ref_kf,
         scalars=scalars,
     )
+
+
+class DevTrackState(NamedTuple):
+    """Device-resident per-frame tracker state for the async tracking loop
+    (zero host syncs per frame): everything _do_normal used to keep as host
+    numpy — last pose, relative pose to the reference KF, reference ids,
+    last-frame features/associations — stays on device, updated by ONE
+    program per frame (track_normal_step). On a proxied TPU runtime every
+    device->host fetch costs a ~23 ms round trip (PROFILE_r05.md), so the
+    host state machine instead consumes the packed decision scalars
+    asynchronously, `commit_lag` frames later — the latency analog of the
+    reference's tracking-queue depth (System.cc:194 blocks at depth 2)."""
+
+    last_Tcw: jnp.ndarray      # [4,4] last successfully tracked pose
+    last_Tcr: jnp.ndarray      # [4,4] last pose relative to its ref KF
+    last_ref_kf: jnp.ndarray   # [] int32
+    ref_kf: jnp.ndarray        # [] int32 current reference keyframe
+    last_lm_id: jnp.ndarray    # [F] last frame's associations
+    last_feats: object         # FrameFeatures of the last good frame
+
+
+class AsyncStepOut(NamedTuple):
+    dev: DevTrackState
+    traj: object               # Trajectory after (conditional) append
+    scalars: jnp.ndarray       # NormalFrameResult.scalars (int32 [8])
+    Tcw: jnp.ndarray           # this frame's optimized pose (garbage if !ok)
+    lm_id: jnp.ndarray         # [F] this frame's pruned associations
+
+
+@partial(jax.jit, static_argnames=("cam", "n_levels", "scale_factor",
+                                   "params"))
+def track_normal_step(
+    cam: Camera,
+    cur_feats,
+    timestamp,
+    traj,
+    dev: DevTrackState,
+    ms: MapState,
+    min_inliers,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+    params: TrackingParams = TrackingParams(),
+) -> AsyncStepOut:
+    """One NORMAL-state frame with the ENTIRE state update on device:
+    UpdateLastFrame re-anchoring (Tracking.cpp:249) + track_normal_frame +
+    trajectory append + last-frame rollover, all gated on the frame's
+    success flag so a lost frame freezes the device state at the last good
+    frame (the host discovers the loss from the async scalar fetch and
+    transitions the state machine then)."""
+    from hyslam_tpu.core import trajectory as TJ
+
+    K = ms.K
+    # UpdateLastFrame: re-derive last pose from the (re-optimized) ref KF
+    rc = jnp.clip(dev.last_ref_kf, 0, K - 1)
+    last_Tcw = jnp.where(dev.last_ref_kf >= 0,
+                         dev.last_Tcr @ ms.kf.Tcw[rc], dev.last_Tcw)
+
+    nf = track_normal_frame(
+        cam, cur_feats, timestamp, traj, last_Tcw, dev.last_feats,
+        dev.last_lm_id, dev.ref_kf, ms, min_inliers,
+        n_levels=n_levels, scale_factor=scale_factor, params=params,
+    )
+    ok = nf.scalars[6] > 0
+
+    ref_new = jnp.where(ok, nf.local_ref_kf, dev.ref_kf)
+    ref_pose = ms.kf.Tcw[jnp.clip(ref_new, 0, K - 1)]
+    Tcr = nf.Tcw @ se3.inverse(ref_pose)
+    traj = TJ.append(traj, jnp.asarray(timestamp, jnp.float32), nf.Tcw,
+                     ref_new, ref_pose, ok, commit=ok)
+
+    def keep(new, old):
+        return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, old)
+
+    dev2 = DevTrackState(
+        last_Tcw=jnp.where(ok, nf.Tcw, dev.last_Tcw),
+        last_Tcr=jnp.where(ok, Tcr, dev.last_Tcr),
+        last_ref_kf=jnp.where(ok, ref_new, dev.last_ref_kf),
+        ref_kf=ref_new,
+        last_lm_id=jnp.where(ok, nf.lm_id, dev.last_lm_id),
+        last_feats=keep(cur_feats, dev.last_feats),
+    )
+    return AsyncStepOut(dev=dev2, traj=traj, scalars=nf.scalars,
+                        Tcw=nf.Tcw, lm_id=nf.lm_id)
 
 
 @partial(jax.jit, static_argnames=("cam", "min_inliers",

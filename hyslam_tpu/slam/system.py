@@ -21,6 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from hyslam_tpu.core import mapstate as M_live
 from hyslam_tpu.core.frame import FrameFeatures
 from hyslam_tpu.features.bow import PlaceRecognizer, train_vocabulary
 from hyslam_tpu.features.factory import make_family
@@ -75,6 +76,7 @@ class System:
                 n_levels=cc.extractor.n_levels,
                 scale_factor=cc.extractor.scale_factor,
                 params=cc.tracking,
+                commit_lag=self.config.commit_lag,
             )
         self._pipe = None
         if self.config.pipelined:
@@ -84,10 +86,16 @@ class System:
 
     def flush(self):
         """Pipelined mode: block until both pipeline stages are drained and
-        all map snapshots are adopted (use before reading trackers/maps
-        mid-run). No-op in synchronous mode."""
+        all map snapshots are adopted; async mode: commit every in-flight
+        frame and block until the device queue settles (use before reading
+        trackers/maps mid-run). No-op in synchronous mode."""
         if self._pipe is not None:
             self._pipe.drain_all()
+        if self.config.async_tracking:
+            for t in self.trackers.values():
+                t.drain_pending()
+            for t in self.trackers.values():
+                jax.block_until_ready(t.ms.next_kf)
 
     # ------------------------------------------------------------------ input
 
@@ -180,6 +188,12 @@ class System:
         if self._pipe is not None:
             self._pipe.feed(camera, feats, timestamp, frame_id, sensor_data)
             return None
+        if self.config.async_tracking:
+            tracker = self.trackers[camera]
+            tel = tracker.track_async(feats, timestamp, frame_id,
+                                      sensor_data=sensor_data)
+            self._transition_states()
+            return tel   # None while the frame is in flight
         return self._track_features_inline(feats, timestamp, camera,
                                            frame_id, sensor_data)
 
@@ -197,7 +211,11 @@ class System:
             self._tracking_log.log(
                 camera, tel, timestamp,
                 n_kfs=int(_np.asarray(tracker.ms.next_kf)),
-                n_landmarks=int(_np.asarray(tracker.ms.next_lm)),
+                # live count, not the cumulative allocation counter —
+                # with slot recycling next_lm can exceed both the live
+                # size and capacity L (ADVICE r4)
+                n_landmarks=int(_np.asarray(
+                    M_live.n_live_landmarks(tracker.ms))),
             )
         if tel.kf_inserted >= 0:
             if self._mapping_log is not None and tel.mapper_stats:
@@ -519,7 +537,7 @@ class System:
             _np.asarray(gray), _np.asarray(feats.uv),
             _np.asarray(feats.valid), state=t.state.name,
             n_kfs=int(_np.asarray(t.ms.next_kf)),
-            n_landmarks=int(_np.asarray(t.ms.next_lm)),
+            n_landmarks=int(_np.asarray(M_live.n_live_landmarks(t.ms))),
         )
         write_png(os.path.join(
             self.config.run_data_dir,

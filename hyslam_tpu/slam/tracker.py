@@ -15,9 +15,13 @@ Tracking_datastructs.h:21-30 and TrackingStateTransitionReinit.cpp:79-146:
 from __future__ import annotations
 
 import enum
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Optional
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,7 +39,12 @@ from hyslam_tpu.slam.keyframe_policy import (
     seed_close_landmarks,
 )
 from hyslam_tpu.slam.mapper import Mapper
-from hyslam_tpu.slam.strategies import TrackResult, track_normal_frame
+from hyslam_tpu.slam.strategies import (
+    DevTrackState,
+    TrackResult,
+    track_normal_frame,
+    track_normal_step,
+)
 from hyslam_tpu.slam.tracking_params import TrackingParams
 
 
@@ -55,6 +64,36 @@ POSTINIT_FRAMES = 5          # TrackingStatePostInitialization hold
 # back-compat aliases; the live thresholds come from TrackingParams.normal
 MIN_INLIERS_NORMAL = 30      # TrackLocalMap success threshold
 MIN_INLIERS_RELOC = 50       # stricter right after relocalization
+
+
+@partial(jax.jit, static_argnames=("cam", "is_mono"))
+def _insert_keyframe_device(ms, feats, Tcw, lm_id, timestamp, frame_id,
+                            cam_id, cam, is_mono: bool):
+    """KF insertion + close-point seeding as one dispatch-only program for
+    the async tracking loop (TrackingState::createNewKeyFrame,
+    TrackingState.cpp:20-93): no host scalars are produced — the keyframe
+    id is the map's allocation cursor, which the host mirrors exactly."""
+    ms, k = M.add_keyframe(ms, feats, Tcw, timestamp, frame_id, cam_id,
+                           lm_id)
+    if not is_mono:
+        ms, _ = seed_close_landmarks(ms, k, cam)
+    return ms
+
+
+@dataclass
+class _Pending:
+    """One dispatched-but-uncommitted frame of the async tracking loop:
+    device handles for everything the lagged host decisions need."""
+
+    frame_id: int
+    timestamp: float
+    state_name: str
+    force_kf: bool
+    feats: object          # FrameFeatures (device)
+    scalars: object        # int32 [8] (async D2H in flight)
+    Tcw: object            # [4,4] device
+    lm_id: object          # [F] device
+    sensor_data: object = None
 
 
 @dataclass
@@ -90,6 +129,19 @@ class Tracker:
                               # per-camera state/strategy parameter sets
                               # (Tracking_datastructs.h:32-181 via the
                               # Cameras/States/Strategies YAML indirection)
+    commit_lag: int = 2       # async loop: frames a dispatched frame's host
+                              # decisions trail behind (hides the D2H round
+                              # trip; the reference's tracking queue blocks
+                              # at depth 2, System.cc:194 — same latency)
+    mapper_busy_frames: int = 4
+                              # async loop: frames the (device-queued) mapper
+                              # integration of the last keyframe is assumed
+                              # to occupy — the keyframe policy's
+                              # mapping-idle gate (optional KFs are
+                              # suppressed while mapping is busy,
+                              # TrackingStateNormal.cpp:87-170); the
+                              # threaded pipeline measures this for real,
+                              # the async loop estimates it host-side
     mapping_status: object = None
                               # threaded-pipeline hook (runtime.pipeline):
                               # .idle() / .queue_len() feed the KF policy's
@@ -128,6 +180,13 @@ class Tracker:
         self.frames_since_reloc = 10**6
         self.n_frames = 0
         self.telemetry: list[TrackerTelemetry] = []
+        # async tracking loop (zero host syncs per steady-state frame)
+        self._pending: deque[_Pending] = deque()
+        self._dev: Optional[DevTrackState] = None
+        self._kf_mirror = 0       # host mirror of ms.next_kf (exact: every
+                                  # allocation is a host-visible event)
+        self._has_priors = False  # sensor readings / registered submaps
+                                  # exist -> local BA needs the prior path
 
     # -- public -------------------------------------------------------------
 
@@ -210,6 +269,7 @@ class Tracker:
                     self.ms, submap,
                     Tse3_parent=jnp.asarray(tse3), tie_kf=tie_kf,
                 )
+                self._has_priors = True   # tiepoint edges exist now
             tel.n_seeded = n
             self.last_Tcw = np.asarray(self.ms.kf.Tcw[kf_id]) if Tcw0 is None \
                 else np.asarray(Tcw0, dtype=np.float32)
@@ -231,6 +291,7 @@ class Tracker:
 
             self.sensors = set_sensor(self.sensors, int(kf_id),
                                       self._pending_sensor)
+            self._has_priors = True
 
     def _update_last_frame(self):
         """UpdateLastFrame (Tracking.cpp:249): re-derive the last frame's
@@ -338,10 +399,203 @@ class Tracker:
 
             self.sensors = set_sensor(self.sensors, kf_id,
                                       self._pending_sensor)
+            self._has_priors = True
         self.last_kf_frame_id = frame_id
         self.ref_kf = kf_id
         tel.kf_inserted = kf_id
         return kf_id
+
+    # -- async tracking loop --------------------------------------------------
+    #
+    # The TPU-native answer to the reference's thread pipeline: on a proxied
+    # runtime every device->host fetch costs a ~23 ms round trip
+    # (PROFILE_r05.md), so the synchronous per-frame state machine caps the
+    # system at ~10 fps no matter how fast the kernels are. track_async
+    # dispatches ONE fused device program per frame (track_normal_step keeps
+    # all tracker state device-resident), starts an async D2H of the packed
+    # decision scalars, and commits the host decisions (loss transition,
+    # keyframe policy, telemetry) `commit_lag` frames later when the fetch
+    # has landed — the same decision latency the reference's bounded
+    # tracking queue imposes (System.cc:194 blocks at depth 2).
+
+    def track_async(self, feats: FrameFeatures, timestamp: float,
+                    frame_id: int, sensor_data=None):
+        """Dispatch-only tracking for NORMAL/POSTINIT; cold states (init,
+        reinit, relocalize) drain the pending window and run synchronously.
+        Telemetry rows appear in self.telemetry at commit time."""
+        if self.state in (State.NORMAL, State.POSTINIT):
+            self.n_frames += 1
+            if self.reset_interval and self.n_frames % self.reset_interval == 0:
+                # fault injection is a host event: take the sync path
+                self.drain_pending()
+                if self.state in (State.NORMAL, State.POSTINIT):
+                    self._sync_dev_to_host()
+                    self._lose_tracking()
+                    self.telemetry.append(TrackerTelemetry(
+                        frame_id=frame_id, state="NORMAL>FORCED_LOSS"))
+                return None
+            self._ensure_dev()
+            min_inl = (
+                self.params.normal.thresh_refine_postreloc
+                if self.frames_since_reloc < 30
+                else self.params.normal.thresh_refine
+            )
+            out = track_normal_step(
+                self.cam, feats, jnp.asarray(timestamp, jnp.float32),
+                self.traj, self._dev, self.ms,
+                jnp.asarray(min_inl, jnp.int32),
+                n_levels=self.n_levels, scale_factor=self.scale_factor,
+                params=self.params,
+            )
+            self.traj = out.traj
+            self._dev = out.dev
+            try:
+                out.scalars.copy_to_host_async()
+            except Exception:
+                pass
+            self._pending.append(_Pending(
+                frame_id=frame_id, timestamp=timestamp,
+                state_name=self.state.name,
+                force_kf=self.state == State.POSTINIT,
+                feats=feats, scalars=out.scalars, Tcw=out.Tcw,
+                lm_id=out.lm_id, sensor_data=sensor_data,
+            ))
+            while len(self._pending) > self.commit_lag:
+                self._commit_one()
+            return None
+        # cold path: commit everything in flight, then run synchronously
+        self.drain_pending()
+        return self.track(feats, timestamp, frame_id,
+                          sensor_data=sensor_data)
+
+    def drain_pending(self):
+        """Commit every dispatched-but-unresolved frame (System.flush /
+        before any cold-state or map-reading operation)."""
+        while self._pending:
+            self._commit_one()
+
+    def _ensure_dev(self):
+        """Enter async mode: lift the host tracker state onto the device
+        (one-time cold sync of the keyframe-cursor mirror)."""
+        if self._dev is not None:
+            return
+        F = self.caps.F
+        lm = (self.last_lm_id if self.last_lm_id is not None
+              else jnp.full((F,), -1, jnp.int32))
+        self._dev = DevTrackState(
+            last_Tcw=jnp.asarray(self.last_Tcw, jnp.float32),
+            last_Tcr=jnp.asarray(self.last_Tcr, jnp.float32),
+            last_ref_kf=jnp.asarray(int(self.last_ref_kf), jnp.int32),
+            ref_kf=jnp.asarray(int(self.ref_kf), jnp.int32),
+            last_lm_id=jnp.asarray(lm, jnp.int32),
+            last_feats=self.last_feats,
+        )
+        self._kf_mirror = int(np.asarray(self.ms.next_kf))
+
+    def _sync_dev_to_host(self):
+        """Leave async mode: pull the device tracker state back into the
+        host fields the cold-state handlers read (blocking; cold path)."""
+        if self._dev is None:
+            return
+        d = self._dev
+        self.last_Tcw = np.asarray(d.last_Tcw)
+        self.last_Tcr = np.asarray(d.last_Tcr)
+        self.last_ref_kf = int(np.asarray(d.last_ref_kf))
+        self.ref_kf = int(np.asarray(d.ref_kf))
+        self.last_lm_id = d.last_lm_id
+        self.last_feats = d.last_feats
+        self._dev = None
+
+    def _commit_one(self):
+        """Resolve the oldest pending frame: read its (async-fetched)
+        decision scalars and run the host state machine for it — loss
+        transition, keyframe policy, telemetry (Tracking::_Track_'s
+        decisions, `commit_lag` frames late)."""
+        p = self._pending.popleft()
+        s = np.asarray(p.scalars)
+        tel = TrackerTelemetry(
+            frame_id=p.frame_id, state=p.state_name,
+            n_motion=int(s[0]), n_inliers=int(s[2]), n_local=int(s[3]))
+        self.telemetry.append(tel)
+        ok = bool(s[1]) and bool(s[6])
+        if not ok:
+            # the remaining in-flight frames tracked against the frozen
+            # last-good device state; if the tail re-acquired, the blip
+            # heals without a state transition — otherwise transition as
+            # the reference would have at the first failure
+            recovered = False
+            while self._pending:
+                q = self._pending.popleft()
+                sq = np.asarray(q.scalars)
+                self.telemetry.append(TrackerTelemetry(
+                    frame_id=q.frame_id, state=q.state_name,
+                    n_motion=int(sq[0]), n_inliers=int(sq[2]),
+                    n_local=int(sq[3])))
+                recovered = bool(sq[1]) and bool(sq[6])
+            if not recovered:
+                self._sync_dev_to_host()
+                self._lose_tracking()
+                tel.state += ">LOST"
+            return tel
+
+        self.frames_since_reloc += 1
+        if self.state == State.POSTINIT:
+            self.postinit_left -= 1
+            if self.postinit_left <= 0:
+                self.state = State.NORMAL
+
+        if self.mapping_status is not None:
+            idle = bool(self.mapping_status.idle())
+            qlen = int(self.mapping_status.queue_len())
+        else:
+            # estimate mapper occupancy from the last insertion: its
+            # integration is queued on the device stream for roughly
+            # mapper_busy_frames frames
+            busy = (p.frame_id
+                    < self.last_kf_frame_id + self.mapper_busy_frames)
+            idle, qlen = not busy, int(busy)
+        inp = KFDecisionInputs(
+            n_inliers=int(s[2]),
+            frame_id=p.frame_id,
+            last_kf_frame_id=self.last_kf_frame_id,
+            n_kfs_in_map=int(s[7]),
+            n_tracked_close=int(s[4]),
+            n_nontracked_close=int(s[5]),
+            mapping_idle=idle,
+            mapping_queue_len=qlen,
+            is_mono=self.is_mono,
+            force=p.force_kf,
+        )
+        if need_new_keyframe(inp, self.policy):
+            self._insert_keyframe_deferred(p, tel)
+        return tel
+
+    def _insert_keyframe_deferred(self, p: _Pending, tel):
+        """Dispatch-only keyframe insertion + mapper integration for a
+        committed frame (its features/pose/associations are still device-
+        resident in the pending record). The keyframe id is the host mirror
+        of the allocation cursor — no fetch needed."""
+        kf_id = self._kf_mirror
+        ms = _insert_keyframe_device(
+            self.ms, p.feats, p.Tcw, p.lm_id,
+            jnp.asarray(p.timestamp, jnp.float32),
+            jnp.asarray(p.frame_id, jnp.int32),
+            jnp.asarray(self.cam_id, jnp.int32),
+            self.cam, self.is_mono)
+        self._kf_mirror += 1
+        if p.sensor_data is not None:
+            from hyslam_tpu.core.sensordata import set_sensor
+
+            self.sensors = set_sensor(self.sensors, kf_id, p.sensor_data)
+            self._has_priors = True
+        ms, stats = self.mapper.integrate_keyframe(
+            ms, jnp.asarray(kf_id, jnp.int32), sensors=self.sensors,
+            opt_info=self.opt_info, fetch_stats=False,
+            has_priors=self._has_priors)
+        self.ms = ms
+        self.last_kf_frame_id = p.frame_id
+        tel.kf_inserted = kf_id
+        tel.mapper_stats = stats
 
     def _lose_tracking(self):
         """Transition on loss (TrackingStateTransitionReinit.cpp:79-146):

@@ -269,10 +269,26 @@ class TestBadAndReplace:
             ms, jnp.asarray(pos[:4]), f.desc[:4], k0,
             jnp.arange(4, dtype=jnp.int32), jnp.ones(4, bool))
         assert (np.asarray(idx) == -1).all()
-        # ...until slots are culled, after which they are reused
+        # ...until slots are culled. A freshly-culled slot must NOT be
+        # reused immediately — the RECYCLE_DELAY countdown keeps it
+        # unallocatable until stale host-held indices have re-resolved
+        # against the bad flag (ADVICE r4: same-pass cull->triangulate
+        # reuse aliased the tracker's last-frame associations)
         bad = np.zeros(L, bool)
         bad[np.asarray(lm_idx[:6])] = True
         ms = set_landmarks_bad(ms, jnp.asarray(bad))
+        ms, idx = add_landmarks(
+            ms, jnp.asarray(pos[:4]), f.desc[:4], k0,
+            jnp.arange(4, dtype=jnp.int32), jnp.ones(4, bool))
+        assert (np.asarray(idx) == -1).all(), (
+            "freshly-culled slots were reallocated before the delay expired")
+        # tick the countdown down (mapper.cull_landmarks does this once per
+        # integrate pass); after RECYCLE_DELAY passes the slots are free
+        from hyslam_tpu.core.mapstate import RECYCLE_DELAY
+        lm = ms.lm
+        ms = ms._replace(lm=lm._replace(protection=jnp.where(
+            lm.bad, jnp.maximum(lm.protection - RECYCLE_DELAY, 0),
+            lm.protection)))
         ms, idx = add_landmarks(
             ms, jnp.asarray(pos[:4]), f.desc[:4], k0,
             jnp.arange(4, dtype=jnp.int32), jnp.ones(4, bool))
