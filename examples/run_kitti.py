@@ -36,9 +36,16 @@ def main(argv=None):
     ap.add_argument("--out", default="out_kitti")
     ap.add_argument("--viz", action="store_true",
                     help="write map/frame snapshots")
-    ap.add_argument("--sync", action="store_true",
-                    help="synchronous (single-thread) mode; default runs "
-                         "the threaded tracking/mapping pipeline")
+    ap.add_argument("--mode", choices=["async", "pipelined", "sync"],
+                    default="async",
+                    help="async = the zero-host-sync production driver "
+                         "(one fused device program per frame, decisions "
+                         "committed commit_lag frames later); pipelined = "
+                         "the reference's thread topology; sync = "
+                         "deterministic single-thread")
+    ap.add_argument("--json", default=None,
+                    help="write the soak result artifact (fps / ATE / RPE "
+                         "/ tracked fraction) to this path")
     args = ap.parse_args(argv)
 
     ds = KittiOdometry(args.root, args.sequence)
@@ -46,13 +53,29 @@ def main(argv=None):
     cfg = SystemConfig(
         caps=MapCaps(K=512, L=32768, F=2048, O=16),
         run_data_dir=os.path.join(args.out, "run_data"),
-        # the reference's 4-thread topology (tracking/mapping over native
-        # queues) is the production driver; --sync for deterministic runs
-        pipelined=not args.sync,
+        # async: the TPU-native production driver (PROFILE_r05.md);
+        # pipelined: the reference's 4-thread topology over native queues
+        pipelined=args.mode == "pipelined",
+        async_tracking=args.mode == "async",
     )
+    # long-sequence arena policy: recycle slots of landmarks that lost all
+    # observations once they are orphan_age keyframes old (soaks run
+    # thousands of frames through fixed-capacity arenas)
+    from hyslam_tpu.slam.mapper import MapperParams
+
+    cfg.mapper = MapperParams(orphan_age=6)
+    from hyslam_tpu.slam.keyframe_policy import KeyFramePolicyParams
+
     cfg.cameras["SLAM"] = CameraConfig(
         fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy, width=c.width, height=c.height,
         bf=c.bf, th_depth=c.bf / c.fx * 40.0,
+        # KITTI-scale scenes run ~70-140 tracked inliers; the default
+        # 150/25 target makes every frame "dire" and forces a keyframe per
+        # frame (mapper storm). 90/25 keeps the reference's weak/dire
+        # semantics at this scene's inlier level.
+        policy=KeyFramePolicyParams(n_tracked_target=90,
+                                    n_tracked_variance=25,
+                                    max_kf_interval=15),
     )
     slam = System(cfg)
     viewer = None
@@ -71,8 +94,11 @@ def main(argv=None):
         if fr.gt_Tcw is not None:
             gt.append(fr.gt_Tcw)
             gt_times.append(fr.timestamp)
-        if tel is None:
-            continue   # pipelined: telemetry arrives at shutdown
+        if tel is None or args.mode == "async":
+            # pipelined/async: poses are read from the re-anchored
+            # trajectory at the end — fetching per-frame state here would
+            # add a blocking ~23 ms device->host round trip per frame
+            continue
         tr = slam.trackers["SLAM"]
         est.append(np.asarray(tr.last_Tcw))
         if viewer is not None:
@@ -100,8 +126,13 @@ def main(argv=None):
 
     n = len(est)
     n_fed = len(times)
+    frac = n / max(n_fed, 1)
     print(f"{n_fed} frames in {wall:.1f}s -> {n_fed / wall:.1f} fps "
-          f"({n} tracked)")
+          f"({n} tracked, {100.0 * frac:.1f}%)")
+    report = {"dataset": "kitti", "sequence": args.sequence,
+              "mode": args.mode, "frames_fed": n_fed, "frames_tracked": n,
+              "tracked_fraction": round(frac, 4),
+              "fps": round(n_fed / wall, 2), "wall_s": round(wall, 1)}
     if gt and n > 1:
         if len(gt) != n:
             # pipelined: pair trajectory entries with gt by gt TIMESTAMP
@@ -120,6 +151,15 @@ def main(argv=None):
         r_t, r_r = rpe(np.stack(est), np.stack(gt))
         print(f"ATE RMSE: {a:.3f} m | RPE: {r_t:.4f} m/frame, "
               f"{r_r:.4f} deg/frame")
+        report.update(ate_rmse_m=round(float(a), 4),
+                      rpe_trans_m=round(float(r_t), 5),
+                      rpe_rot_deg=round(float(r_r), 5))
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=1)
+        print("wrote", args.json)
     return 0
 
 

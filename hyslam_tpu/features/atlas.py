@@ -29,8 +29,8 @@ import numpy as np
 from hyslam_tpu.core.frame import FrameFeatures
 from hyslam_tpu.features.extractor import ExtractorConfig, level_budgets
 from hyslam_tpu.ops.fast import fast_scores, nms3x3
-from hyslam_tpu.ops.orb import descriptors, orientations
-from hyslam_tpu.ops.pyramid import gaussian_blur, pyramid_shapes
+from hyslam_tpu.ops.orb import orient_and_describe
+from hyslam_tpu.ops.pyramid import pyramid_shapes
 
 
 class AtlasLayout(NamedTuple):
@@ -108,7 +108,6 @@ def _extract_atlas_hw(img: jnp.ndarray, cfg: ExtractorConfig, capacity: int,
     canvas = _build_canvas(img, layout, cfg)
 
     score = nms3x3(fast_scores(canvas, cfg.fast_threshold))
-    blur = gaussian_blur(canvas)
 
     uvs_canvas, uvs_lv0, levels, valids = [], [], [], []
     for lv, ((hl, wl), xo, n_lv) in enumerate(
@@ -133,9 +132,11 @@ def _extract_atlas_hw(img: jnp.ndarray, cfg: ExtractorConfig, capacity: int,
     level = jnp.concatenate(levels)
     valid = jnp.concatenate(valids)
 
-    # orientation + descriptors in ONE batch over all levels (canvas coords)
-    ang = orientations(canvas, uv_canvas)
-    desc = descriptors(blur, uv_canvas, ang)
+    # orientation + descriptors in ONE batch over all levels (canvas
+    # coords): fused patch path — vmapped dynamic_slice windows + MXU
+    # steering matmuls; the blur is applied per patch, so no full-canvas
+    # blur pass is needed (ops/orb.orient_and_describe)
+    ang, desc = orient_and_describe(canvas, uv_canvas)
 
     n = uv0.shape[0]
     pad = capacity - n

@@ -19,8 +19,8 @@ import numpy as np
 
 from hyslam_tpu.core.frame import FrameFeatures
 from hyslam_tpu.ops.fast import fast_scores, nms3x3, select_keypoints
-from hyslam_tpu.ops.orb import descriptors, orientations
-from hyslam_tpu.ops.pyramid import build_pyramid, gaussian_blur
+from hyslam_tpu.ops.orb import orient_and_describe
+from hyslam_tpu.ops.pyramid import build_pyramid
 
 
 class ExtractorConfig(NamedTuple):
@@ -63,9 +63,9 @@ def extract(img: jnp.ndarray, cfg: ExtractorConfig, capacity: int) -> FrameFeatu
             s, n_lv, cell=cfg.cell_size,
             border=max(4, int(round(cfg.border / cfg.scale_factor**lv))),
         )
-        ang = orientations(im, uv)
-        blur = gaussian_blur(im)
-        d = descriptors(blur, uv, ang)
+        # fused patch path (same as the atlas extractor, so the two
+        # extraction paths stay descriptor-compatible)
+        ang, d = orient_and_describe(im, uv)
         scale = cfg.scale_factor ** lv
         uvs.append(uv * scale)
         levels.append(jnp.full((n_lv,), lv, jnp.int32))

@@ -86,30 +86,35 @@ def refine_subpixel(
     y0 = jnp.round(uv[:, 1]).astype(jnp.int32)
     xr0 = jnp.round(ur0).astype(jnp.int32)
 
-    w = jnp.arange(-_SAD_R, _SAD_R + 1)
     h, W_ = img_l.shape
+    side = 2 * _SAD_R + 1                                # 11
+    wide = side + 2 * _SEARCH                            # 19: all 9 shifts
 
-    def take2d(img, ys, xs):
-        # 1-D take on the flattened image: lowers ~30% faster than 2-D
-        # advanced indexing on TPU (see ops/orb._gather_pixels)
-        ys = jnp.clip(ys, 0, h - 1)
-        xs = jnp.clip(xs, 0, W_ - 1)
-        return jnp.take(img.reshape(-1), ys * W_ + xs)
+    # per-keypoint windows via vmapped dynamic_slice (XLA lowers this far
+    # better than gather — the previous take-based form cost ~10.6 ms,
+    # PROFILE_r05.md); pad by the window radius so starts never clamp the
+    # window off-center
+    pad_y, pad_xl, pad_xr = _SAD_R, _SAD_R, _SAD_R + _SEARCH
+    il_p = jnp.pad(img_l, ((pad_y, pad_y), (pad_xl, pad_xl)), mode="edge")
+    ir_p = jnp.pad(img_r, ((pad_y, pad_y), (pad_xr, pad_xr)), mode="edge")
 
-    wy = y0[:, None, None] + w[None, :, None]           # [N, 11, 1]
-    wxl = x0[:, None, None] + w[None, None, :]          # [N, 1, 11]
-    patch_l = take2d(img_l, jnp.broadcast_to(wy, wy.shape[:1] + (11, 11)),
-                     jnp.broadcast_to(wxl, wxl.shape[:1] + (11, 11)))
+    def cut_l(y, x):                                     # centered at (y,x)
+        return jax.lax.dynamic_slice(il_p, (y, x), (side, side))
+
+    def cut_r(y, x):                                     # x = xr0 start
+        return jax.lax.dynamic_slice(ir_p, (y, x), (side, wide))
+
+    yc = jnp.clip(y0, 0, h - 1)
+    patch_l = jax.vmap(cut_l)(yc, jnp.clip(x0, 0, W_ - 1))     # [N,11,11]
+    win_r = jax.vmap(cut_r)(yc, jnp.clip(xr0, 0, W_ - 1))      # [N,11,wide]
     # normalize by center intensity like the reference (IL - IL(center))
     patch_l = patch_l - patch_l[:, _SAD_R : _SAD_R + 1, _SAD_R : _SAD_R + 1]
 
-    shifts = jnp.arange(-_SEARCH, _SEARCH + 1)          # [9]
-    wxr = xr0[:, None, None, None] + shifts[None, :, None, None] + w[None, None, None, :]
-    wyr = y0[:, None, None, None] + w[None, None, :, None]
-    n_sh = shifts.shape[0]
-    full = (x0.shape[0], n_sh, 11, 11)
-    patch_r = take2d(img_r, jnp.broadcast_to(wyr, full),
-                     jnp.broadcast_to(wxr, full))
+    n_sh = 2 * _SEARCH + 1
+    # shift s covers columns [s : s+11] of the right window
+    patch_r = jnp.stack(
+        [win_r[:, :, s : s + side] for s in range(n_sh)], axis=1
+    )                                                    # [N,9,11,11]
     patch_r = patch_r - patch_r[:, :, _SAD_R : _SAD_R + 1, _SAD_R : _SAD_R + 1]
 
     sad = jnp.sum(jnp.abs(patch_r - patch_l[:, None]), axis=(-1, -2))  # [N, 9]

@@ -231,10 +231,16 @@ def distributed_bundle_adjustment_2d(
     (small). Produces the same result as solver.ba.bundle_adjustment.
 
     Requires K divisible by mesh 'kf' and L divisible by mesh 'lm'.
-    Priors are not yet supported on this path (use the 1-D solver)."""
-    from hyslam_tpu.solver.ba import _reduced_diag
 
-    assert p.priors is None, "2-D BA path does not take priors yet"
+    PosePriors (IMU/GPS/depth unary edges + submap tiepoint SE3 edges —
+    the reference's signature BA blocks, BundleAdjustment.cc:60-201) ride
+    replicated like the poses: their diagonal blocks add into Hpp AFTER
+    the landmark psum, and the tiepoint off-diagonal coupling applies
+    matrix-free inside every CG product (tie_offdiag_matvec), outside the
+    collectives so no shard-count scaling occurs."""
+    from hyslam_tpu.solver.ba import _reduced_diag
+    from hyslam_tpu.solver.priors import tie_offdiag_matvec
+
     n_kf = mesh.shape["kf"]
     n_lm = mesh.shape["lm"]
     K = p.kf_Tcw.shape[0]
@@ -250,7 +256,8 @@ def distributed_bundle_adjustment_2d(
         cams=type(p.cams)(*([rep] * len(p.cams))),
         lm_pos=lm, lm_valid=lm,
         obs=type(p.obs)(*([lm] * len(p.obs))),
-        priors=None,
+        priors=None if p.priors is None
+        else PosePriors(*([rep] * len(p.priors))),
     )
 
     @partial(
@@ -265,17 +272,29 @@ def distributed_bundle_adjustment_2d(
         my_kf = jax.lax.axis_index("kf")
         col0 = my_kf * Kb
 
+        # priors are replicated pose-only blocks: keep them out of the
+        # shard-local cost/linearization and add them once post-reduction
+        pl_noprior = pl._replace(priors=None)
+
         def cost_of(kf_Tcw, lm_pos):
-            local = _robust_cost(pl, kf_Tcw, lm_pos, huber)
-            return jax.lax.psum(local, "lm")   # kf rows replicate the shard
+            local = _robust_cost(pl_noprior, kf_Tcw, lm_pos, huber)
+            total = jax.lax.psum(local, "lm")  # kf rows replicate the shard
+            if pl.priors is not None:
+                total = total + prior_cost(kf_Tcw, pl.priors)
+            return total
 
         def step(state, _):
             kf_Tcw, lm_pos, lam, cost = state
             Hpp, b_pose, Y, yv, Vinv, Wlo, b_lm, kf_idx = _linearize_factors(
-                pl, kf_Tcw, lm_pos, lam, obs_active, huber
+                pl_noprior, kf_Tcw, lm_pos, lam, obs_active, huber
             )
             Hpp = jax.lax.psum(Hpp, "lm")
             b_pose = jax.lax.psum(b_pose, "lm")
+            Hab = None
+            if pl.priors is not None:
+                Hd_pr, b_pr, Hab = linearize_priors_blocks(kf_Tcw, pl.priors)
+                Hpp = Hpp + Hd_pr
+                b_pose = b_pose + b_pr
             S_cb, b_red = _schur_cols(Y, yv, kf_idx, K, Kb, col0, chunk)
             b_red = jax.lax.psum(b_red, "lm")
 
@@ -292,6 +311,11 @@ def distributed_bundle_adjustment_2d(
                 red = jax.lax.psum(
                     (S_cb @ xb).reshape(K, 6), ("kf", "lm"))
                 out = jnp.einsum("kij,kj->ki", Hpp_d, x * fm) - red
+                if pl.priors is not None and Hab is not None:
+                    # replicated (outside the collectives: no shard-count
+                    # scaling) tiepoint off-diagonal coupling
+                    out = out + tie_offdiag_matvec(pl.priors, Hab,
+                                                   x * fm, K)
                 return out * fm + x * (1.0 - fm)
 
             D = Hpp_d - jax.lax.psum(_reduced_diag(Y, kf_idx, K), "lm")

@@ -104,9 +104,28 @@ def run_global_ba(ms: MapState, cam: Camera, n_iters: int = 20,
         prob = prob._replace(priors=priors)
     if mesh is None:
         res = bundle_adjustment(prob, n_iters=n_iters, huber=True, chunk=chunk)
+    elif "kf" in mesh.shape and prob.kf_Tcw.shape[0] >= 512:
+        # keyframe-scale maps on a 2-D ('kf','lm') mesh: partition the
+        # reduced camera system's columns over 'kf' as well — compute and
+        # memory of the Schur system drop by the kf-axis size while each
+        # CG step still psums only a [K,6] (SURVEY §2.10 north star)
+        from hyslam_tpu.parallel.dist_ba import (
+            distributed_bundle_adjustment_2d,
+        )
+
+        res = distributed_bundle_adjustment_2d(
+            prob, mesh, n_iters=n_iters, huber=True, chunk=chunk
+        )
     else:
         from hyslam_tpu.parallel.dist_ba import distributed_bundle_adjustment
 
+        if "kf" in mesh.shape:
+            from jax.sharding import Mesh
+
+            # small-K maps: the 1-D landmark sharding is faster; fold the
+            # kf axis into lm so all devices still participate
+            devs = mesh.devices.reshape(-1)
+            mesh = Mesh(devs, ("lm",))
         res = distributed_bundle_adjustment(
             prob, mesh, n_iters=n_iters, huber=True, chunk=chunk
         )

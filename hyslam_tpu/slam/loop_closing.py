@@ -112,6 +112,11 @@ class LoopCloser:
             if best_count + 1 >= CONSISTENCY_THRESHOLD:
                 enough.append(c)
         self.consistency = new_consistency
+        # strongest BoW scores first: process() caps the geometric checks
+        # per keyframe, so the cap must drop the WEAKEST candidates
+        # (ADVICE r4: a true loop whose first listed candidates fail the
+        # Sim3 gates was silently missed)
+        enough.sort(key=lambda c: -float(scores[c]))
         return enough
 
     # -- Sim3 ---------------------------------------------------------------

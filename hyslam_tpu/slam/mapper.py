@@ -296,7 +296,11 @@ def _fuse_into_kf(ms: MapState, k, lm_rows: jnp.ndarray, cam: Camera,
     return ms, jnp.sum(both.astype(jnp.int32)), jnp.sum(add_new.astype(jnp.int32))
 
 
-MAX_FUSE_TARGETS = 32   # cap on the deduped 1st+2nd-degree target set
+MAX_FUSE_TARGETS = 16   # cap on the deduped 1st+2nd-degree target set,
+                        # kept by covisibility weight (the reference's
+                        # 10+5x dedup typically lands well under 16; each
+                        # target is a full projection-search scan step, so
+                        # the cap is half the per-KF fuse time)
 
 
 def fuse_landmarks(ms: MapState, kf_id, cam: Camera, params: MapperParams,
@@ -567,7 +571,9 @@ def local_bundle_adjustment(ms: MapState, kf_id: int, cam: Camera,
     priors = _slot_priors(ms, sensors, opt_info, prob_slots[1], prob_slots[2])
     ms, cost = _local_ba_body(ms, kf_id, cam, max_local_kf, max_lm,
                               n_levels, scale_factor, priors=priors)
-    return ms, float(cost)
+    return ms, cost   # device scalar: callers float() it only when they
+                      # actually report it (a blocking fetch costs a ~23 ms
+                      # round trip on the proxied runtime)
 
 
 # ---------------------------------------------------------------------------
@@ -697,13 +703,19 @@ class Mapper:
                     | (jnp.any(sensors.gps_valid) | jnp.any(sensors.quat_valid)
                        | jnp.any(sensors.depth_valid)
                        if sensors is not None else False)))
+            # neighborhood caps: 16 local KFs / 2048 landmarks cover the
+            # 1-hop covisibility set at the reference's operating points
+            # (LocalBundleAdjustment::FindLocalKFs is 1-hop too) at half
+            # the per-KF device time of the old 32/4096 caps (68 ms vs
+            # 151 ms measured, PROFILE_r05.md)
             if has_priors:
                 ms, cost = local_bundle_adjustment(
-                    ms, kf_id, self.cam, sensors=sensors, opt_info=opt_info,
+                    ms, kf_id, self.cam, max_local_kf=16, max_lm=2048,
+                    sensors=sensors, opt_info=opt_info,
                     n_levels=self.n_levels, scale_factor=self.scale_factor)
             else:
                 ms, cost = _local_ba_noprior(
-                    ms, kf_id, self.cam, 32, 4096,
+                    ms, kf_id, self.cam, 16, 2048,
                     self.n_levels, self.scale_factor)
             if cull_kfs and not self.is_mono:
                 ms, n_cull = _cull_keyframes_jit(ms, kf_id, self.cam, p)

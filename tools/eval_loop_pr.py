@@ -7,7 +7,9 @@ Protocol: W held-out worlds (never seen by the vocabulary trainer; distinct
 point constellations). For each world, render a reference view and a
 REVISIT view (same place, perturbed pose — the loop-closure situation).
 Positive pairs: (reference, revisit) of the same world. Negative pairs:
-(reference_i, reference_j) of different worlds. Score = BoW L1 similarity
+(reference_i, revisit_j) cross-world — i.e. the query side is always a
+revisit view, exactly the query the loop detector scores. Score = BoW L1
+similarity
 (features.bow.l1_score, the quantity PlaceRecognizer thresholds).
 Sweeps the score threshold -> PR curve; reports AUC-PR, best-F1 operating
 point, and the separation margin.
@@ -50,7 +52,7 @@ def build_views(n_worlds: int, seed: int = 123, n_features: int = 400):
             rng.uniform(2.5, 30, 500),
         ], -1).astype(np.float32)
         pseed = 10_000_019 + w * 104729  # disjoint from trainer seeds
-        img0, _, _ = render_world(cam, np.eye(4, np.float32), pts,
+        img0, _, _ = render_world(cam, np.eye(4, dtype=np.float32), pts,
                                   point_seed=pseed)
         # revisit: same place, different approach (pose perturbation of the
         # magnitude a loop closure must bridge: ~0.5 m + ~5 deg)
@@ -78,7 +80,7 @@ def main(argv=None):
 
     from hyslam_tpu.features.bow import bow_vector, l1_score
     from hyslam_tpu.features.vocab_io import load_vocabulary
-    from hyslam_tpu.io.config import default_vocab_path
+    from hyslam_tpu.slam.system import default_vocab_path
 
     vp = args.vocab or default_vocab_path()
     vocab = load_vocabulary(vp)
@@ -87,10 +89,10 @@ def main(argv=None):
     t0 = time.time()
     refs, revs = build_views(args.worlds)
 
-    vecs_ref = [np.asarray(bow_vector(vocab, jnp.asarray(d), jnp.asarray(v)))
-                for d, v in refs]
-    vecs_rev = [np.asarray(bow_vector(vocab, jnp.asarray(d), jnp.asarray(v)))
-                for d, v in revs]
+    vecs_ref = [np.asarray(bow_vector(vocab, jnp.asarray(d),
+                                      jnp.asarray(v))[0]) for d, v in refs]
+    vecs_rev = [np.asarray(bow_vector(vocab, jnp.asarray(d),
+                                      jnp.asarray(v))[0]) for d, v in revs]
 
     pos = np.asarray([float(l1_score(jnp.asarray(a), jnp.asarray(b)))
                       for a, b in zip(vecs_ref, vecs_rev)])

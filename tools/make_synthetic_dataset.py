@@ -113,7 +113,7 @@ def render_depth(cam, Tcw, pts, radius_px=5):
     return depth
 
 
-def gen_kitti(root, n_frames, seed=0):
+def gen_kitti(root, n_frames, seed=0, n_loops=1.02):
     from helpers import render_world
     from hyslam_tpu.geometry.camera import Camera
 
@@ -128,7 +128,7 @@ def gen_kitti(root, n_frames, seed=0):
     rng = np.random.default_rng(seed)
     radius = 40.0
     pts = circuit_world(rng, radius, 9000)
-    poses = circuit_poses(n_frames, radius)
+    poses = circuit_poses(n_frames, radius, n_loops)
 
     seq = os.path.join(root, "sequences", "00")
     os.makedirs(os.path.join(seq, "image_0"), exist_ok=True)
@@ -159,7 +159,7 @@ def gen_kitti(root, n_frames, seed=0):
     print(f"wrote {n_frames}-frame KITTI-layout sequence to {root}")
 
 
-def gen_tum(root, n_frames, seed=1):
+def gen_tum(root, n_frames, seed=1, n_loops=1.02):
     from helpers import render_world
     from hyslam_tpu.geometry.camera import Camera
     from hyslam_tpu.geometry import so3
@@ -175,7 +175,7 @@ def gen_tum(root, n_frames, seed=1):
     # TUM depth ceiling (65535/5000 = 13.1 m)
     pts = circuit_world(rng, radius, 6000, wall_min=1.2, wall_max=5.0,
                         y_range=(-1.8, 1.4))
-    poses = circuit_poses(n_frames, radius)
+    poses = circuit_poses(n_frames, radius, n_loops)
 
     os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(root, "depth"), exist_ok=True)
@@ -213,11 +213,16 @@ def main(argv=None):
     ap.add_argument("root")
     ap.add_argument("--frames", type=int, default=600)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--loops", type=float, default=1.02,
+                    help="fraction of the circuit covered: per-frame motion"
+                         " scales with loops/frames, so short CI sequences"
+                         " should use a small value to keep the motion"
+                         " magnitude of the full-length soak")
     args = ap.parse_args(argv)
     if args.layout == "kitti":
-        gen_kitti(args.root, args.frames, args.seed)
+        gen_kitti(args.root, args.frames, args.seed, args.loops)
     else:
-        gen_tum(args.root, args.frames, args.seed)
+        gen_tum(args.root, args.frames, args.seed, args.loops)
     return 0
 
 
