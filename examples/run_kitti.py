@@ -43,6 +43,9 @@ def main(argv=None):
                          "committed commit_lag frames later); pipelined = "
                          "the reference's thread topology; sync = "
                          "deterministic single-thread")
+    ap.add_argument("--no-loop", action="store_true",
+                    help="disable loop closing (drift baseline / timing "
+                         "decomposition)")
     ap.add_argument("--json", default=None,
                     help="write the soak result artifact (fps / ATE / RPE "
                          "/ tracked fraction) to this path")
@@ -51,12 +54,13 @@ def main(argv=None):
     ds = KittiOdometry(args.root, args.sequence)
     c = ds.calib
     cfg = SystemConfig(
-        caps=MapCaps(K=512, L=32768, F=2048, O=16),
+        caps=MapCaps(K=512, L=32768, F=1024, O=16),
         run_data_dir=os.path.join(args.out, "run_data"),
         # async: the TPU-native production driver (PROFILE_r05.md);
         # pipelined: the reference's 4-thread topology over native queues
         pipelined=args.mode == "pipelined",
         async_tracking=args.mode == "async",
+        enable_loop_closing=not args.no_loop,
     )
     # long-sequence arena policy: recycle slots of landmarks that lost all
     # observations once they are orphan_age keyframes old (soaks run
@@ -69,11 +73,12 @@ def main(argv=None):
     cfg.cameras["SLAM"] = CameraConfig(
         fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy, width=c.width, height=c.height,
         bf=c.bf, th_depth=c.bf / c.fx * 40.0,
-        # KITTI-scale scenes run ~70-140 tracked inliers; the default
+        # KITTI-scale scenes run ~70-250 tracked inliers; the default
         # 150/25 target makes every frame "dire" and forces a keyframe per
-        # frame (mapper storm). 90/25 keeps the reference's weak/dire
-        # semantics at this scene's inlier level.
-        policy=KeyFramePolicyParams(n_tracked_target=90,
+        # frame (mapper storm), while 90/25 triggers keyframes too late
+        # under the async commit lag (measured sawtooth-to-loss on fast
+        # turns). 120/25 holds the circuit with zero losses.
+        policy=KeyFramePolicyParams(n_tracked_target=120,
                                     n_tracked_variance=25,
                                     max_kf_interval=15),
     )
@@ -98,6 +103,9 @@ def main(argv=None):
             # pipelined/async: poses are read from the re-anchored
             # trajectory at the end — fetching per-frame state here would
             # add a blocking ~23 ms device->host round trip per frame
+            if len(times) % 100 == 0:
+                print(f"fed {len(times)} frames "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
             continue
         tr = slam.trackers["SLAM"]
         est.append(np.asarray(tr.last_Tcw))
@@ -118,6 +126,14 @@ def main(argv=None):
             viewer.update(tr.ms, current_Tcw=tr.last_Tcw)
 
     os.makedirs(args.out, exist_ok=True)
+    if args.mode == "async":
+        # async path bypasses the TSV telemetry logger (it would force a
+        # blocking fetch per frame); dump the committed telemetry here
+        with open(os.path.join(args.out, "tracking_async.txt"), "w") as f:
+            f.write("frame_id\tstate\tn_motion\tn_inliers\tn_local\tkf\n")
+            for t in slam.trackers["SLAM"].telemetry:
+                f.write(f"{t.frame_id}\t{t.state}\t{t.n_motion}\t"
+                        f"{t.n_inliers}\t{t.n_local}\t{t.kf_inserted}\n")
     slam.save_trajectory_tum(os.path.join(args.out, "trajectory_tum.txt"))
     slam.export_colmap(args.out)
     slam.save_map(os.path.join(args.out, "map.npz"))

@@ -71,7 +71,9 @@ def build_tiepoint_edges(ms: MapState):
     tie_b = np.zeros(MAX_MAPS, np.int32)
     tie_T = np.tile(np.eye(4, dtype=np.float32), (MAX_MAPS, 1, 1))
     tie_valid = np.zeros(MAX_MAPS, bool)
-    for mid in range(int(np.asarray(ms.maps.n_maps))):
+    # n_maps is a monotonic cursor; clamp to the table capacity so a run
+    # that hit the MAX_MAPS bound cannot index past the table
+    for mid in range(min(int(np.asarray(ms.maps.n_maps)), MAX_MAPS)):
         if parent[mid] < 0 or not registered[mid] or tie_kf[mid] < 0:
             continue
         origins = np.nonzero(kf_origin & (kf_map == mid))[0]

@@ -83,6 +83,9 @@ class System:
             from hyslam_tpu.runtime.pipeline import SystemPipeline
 
             self._pipe = SystemPipeline(self)
+        self._lc_worker = None
+        if self.config.async_tracking and self.config.enable_loop_closing:
+            self._start_lc_worker()
 
     def flush(self):
         """Pipelined mode: block until both pipeline stages are drained and
@@ -94,6 +97,10 @@ class System:
         if self.config.async_tracking:
             for t in self.trackers.values():
                 t.drain_pending()
+            if self._lc_worker is not None:
+                self._lc_queue.join()
+                for name in list(self.trackers):
+                    self._apply_pending_loop(name)
             for t in self.trackers.values():
                 jax.block_until_ready(t.ms.next_kf)
 
@@ -189,6 +196,11 @@ class System:
             self._pipe.feed(camera, feats, timestamp, frame_id, sensor_data)
             return None
         if self.config.async_tracking:
+            if self._lc_worker is not None:
+                if self._lc_error is not None:
+                    e, self._lc_error = self._lc_error, None
+                    raise RuntimeError(f"loop-closing worker died: {e!r}")
+                self._apply_pending_loop(camera)
             tracker = self.trackers[camera]
             tel = tracker.track_async(feats, timestamp, frame_id,
                                       sensor_data=sensor_data)
@@ -250,6 +262,80 @@ class System:
                 t.reenter_initialize()
 
     # ----------------------------------------------------------- loop closing
+
+    def _start_lc_worker(self):
+        """Async-mode loop closing: the reference's LoopClosing THREAD
+        (System.cc:145-152). Detection + Sim3 verification run off-thread
+        on immutable map snapshots; a verified closure is applied to the
+        authoritative map between frames (the reference's CorrectLoop
+        stops mapping for the same reason). Backlogged keyframes beyond
+        depth 2 get recognizer indexing only — the same shedding the
+        reference's bounded queues impose."""
+        import queue as _q
+        import threading
+
+        self._lc_queue = _q.Queue()
+        self._pending_loop = {}
+        self._lc_error = None
+
+        for name, t in self.trackers.items():
+            if name == "SLAM":
+                t.on_keyframe = (
+                    lambda kf_id, _n=name: self._lc_queue.put((_n, kf_id)))
+
+        def loop():
+            while True:
+                item = self._lc_queue.get()
+                if item is None:
+                    return
+                camera, kf_id = item
+                try:
+                    tracker = self.trackers[camera]
+                    closer = self._get_loop_closer(camera)
+                    if closer is None:
+                        continue
+                    ms = tracker.ms   # immutable snapshot
+                    if self._lc_queue.qsize() > 2:
+                        # shed: index the keyframe, skip detection
+                        closer.recognizer.add_keyframe(
+                            kf_id, ms.kf.desc[kf_id], ms.kf.kp_valid[kf_id])
+                        continue
+                    found, cand, g_cl, n = closer.detect_and_verify(
+                        ms, kf_id)
+                    if found:
+                        self._pending_loop[camera] = (kf_id, cand, g_cl)
+                except Exception as e:   # surface at the next frame
+                    self._lc_error = e
+                finally:
+                    self._lc_queue.task_done()
+
+        self._lc_worker = threading.Thread(
+            target=loop, daemon=True, name="hyslam-loopclosing")
+        self._lc_worker.start()
+
+    def _apply_pending_loop(self, camera: str):
+        """Apply a worker-verified loop closure to the authoritative map
+        (CorrectLoop + the post-loop GBA, LoopClosing.cc:421-614) between
+        frames: the tracker's device state stores poses RELATIVE to its
+        reference keyframe, so it re-anchors onto the corrected map
+        automatically at the next dispatched frame."""
+        pend = self._pending_loop.pop(camera, None)
+        if pend is None:
+            return
+        kf_id, cand, g_cl = pend
+        tracker = self.trackers[camera]
+        tracker.drain_pending()
+        closer = self.loop_closers[camera]
+        ms = closer.correct(tracker.ms, kf_id, cand, g_cl)
+        closer.n_closed += 1
+        ex = self.config.cameras[camera].extractor
+        ms, _ = run_global_ba(
+            ms, self.cameras[camera], n_iters=10,
+            sensors=tracker.sensors, opt_info=self.config.optimizer,
+            n_levels=ex.n_levels, scale_factor=ex.scale_factor,
+        )
+        tracker.ms = ms
+        self._refresh_trajectory(camera)
 
     def _on_new_keyframe(self, camera: str, kf_id: int):
         tracker = self.trackers[camera]
@@ -471,6 +557,10 @@ class System:
         if self._pipe is not None:
             self._pipe.join()
             self._pipe = None
+        if self._lc_worker is not None:
+            self._lc_queue.put(None)
+            self._lc_worker.join(timeout=60)
+            self._lc_worker = None
         self._shutdown = True
         self._close_logs()
 
@@ -498,6 +588,12 @@ class System:
             from hyslam_tpu.runtime.pipeline import SystemPipeline
 
             self._pipe = SystemPipeline(self)
+        if self._lc_worker is not None:
+            self._lc_queue.put(None)
+            self._lc_worker.join(timeout=60)
+            self._lc_worker = None
+        if self.config.async_tracking and self.config.enable_loop_closing:
+            self._start_lc_worker()
 
     # ------------------------------------------------------------------ misc
 
@@ -525,6 +621,10 @@ class System:
         """Periodic annotated feature-image dump (ImageProcessing.cpp:87-98
         writes a debug feature image every 20 frames when enabled)."""
         if not self.config.run_data_dir:
+            return
+        if self.config.async_tracking:
+            # the dump forces blocking image+feature fetches mid-stream —
+            # the async driver's telemetry lives in tracker.telemetry
             return
         if self._frame_counter % every != 0:
             return

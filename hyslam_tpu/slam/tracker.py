@@ -133,7 +133,7 @@ class Tracker:
                               # decisions trail behind (hides the D2H round
                               # trip; the reference's tracking queue blocks
                               # at depth 2, System.cc:194 — same latency)
-    mapper_busy_frames: int = 4
+    mapper_busy_frames: int = 2
                               # async loop: frames the (device-queued) mapper
                               # integration of the last keyframe is assumed
                               # to occupy — the keyframe policy's
@@ -141,7 +141,19 @@ class Tracker:
                               # suppressed while mapping is busy,
                               # TrackingStateNormal.cpp:87-170); the
                               # threaded pipeline measures this for real,
-                              # the async loop estimates it host-side
+                              # the async loop estimates it host-side.
+                              # 2, not 4: with the commit-lag decision
+                              # latency on top, a 4-frame suppression let
+                              # fast turns starve the map before the next
+                              # keyframe could replenish it (measured
+                              # sawtooth-to-loss on the KITTI-layout
+                              # circuit; 2 holds 90/90 frames)
+    on_keyframe: object = None
+                              # async loop: callable(kf_id) invoked after a
+                              # deferred keyframe insertion — System routes
+                              # these to the loop-closing worker thread
+                              # (the reference's LoopClosing thread feed,
+                              # System.cc:145)
     mapping_status: object = None
                               # threaded-pipeline hook (runtime.pipeline):
                               # .idle() / .queue_len() feed the KF policy's
@@ -243,6 +255,13 @@ class Tracker:
             ms_before = self.ms   # roll back the submap on failed init —
                                   # otherwise every blank/featureless frame
                                   # in REINITIALIZE leaks an empty submap
+            if as_submap and int(np.asarray(
+                    self.ms.maps.n_maps)) >= M.MAX_MAPS:
+                # submap table full (bounded capacity): re-initialize
+                # within the active map instead of silently clamping the
+                # table scatter (a map_id past MAX_MAPS poisons every
+                # host-side table walk downstream)
+                as_submap = False
             if as_submap:
                 self.ms, submap = M.create_submap(self.ms)
             ms, kf_id, n = stereo_initialize(
@@ -382,6 +401,8 @@ class Tracker:
                 self.state = State.NORMAL
 
     def _insert_keyframe(self, feats, tr, timestamp, frame_id, tel) -> int:
+        if int(np.asarray(self.ms.next_kf)) >= self.caps.K:
+            return -1   # arena full: the scatter would silently clamp
         ms, kf_id = M.add_keyframe(
             self.ms, feats, jnp.asarray(tr.Tcw), timestamp, frame_id,
             self.cam_id, tr.lm_id,
@@ -566,7 +587,11 @@ class Tracker:
             is_mono=self.is_mono,
             force=p.force_kf,
         )
-        if need_new_keyframe(inp, self.policy):
+        if need_new_keyframe(inp, self.policy) \
+                and self._kf_mirror < self.caps.K:
+            # arena-full guard: the cursor is monotonic, a 65th insert
+            # into K=64 would silently clamp on device while the host
+            # mirror (and the place recognizer) ran past the capacity
             self._insert_keyframe_deferred(p, tel)
         return tel
 
@@ -596,6 +621,8 @@ class Tracker:
         self.last_kf_frame_id = p.frame_id
         tel.kf_inserted = kf_id
         tel.mapper_stats = stats
+        if self.on_keyframe is not None:
+            self.on_keyframe(kf_id)
 
     def _lose_tracking(self):
         """Transition on loss (TrackingStateTransitionReinit.cpp:79-146):
