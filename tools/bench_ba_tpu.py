@@ -49,13 +49,20 @@ def run(K: int, solver: str, L=65536, O=8, n_iters=10, reps=3):
     import jax
     from hyslam_tpu.solver.ba import bundle_adjustment
 
+    import numpy as np
+
     prob = build_problem(K=K, L=L, O=O)
     res = bundle_adjustment(prob, n_iters=n_iters, solver=solver)
-    jax.block_until_ready(res.kf_Tcw)          # compile + warm
+    _ = np.asarray(res.cost)                   # compile + warm (real fetch)
     t0 = time.perf_counter()
     for _ in range(reps):
-        res = bundle_adjustment(prob, n_iters=n_iters, solver=solver)
-    jax.block_until_ready(res.kf_Tcw)
+        # CHAIN the reps (each consumes the previous poses) and end with a
+        # real device->host fetch: on the proxied runtime
+        # block_until_ready returns at dispatch, not execution
+        # (PROFILE_r05.md section 1), so unchained reps measure nothing
+        res = bundle_adjustment(prob._replace(kf_Tcw=res.kf_Tcw),
+                                n_iters=n_iters, solver=solver)
+    _ = np.asarray(res.cost)
     dt = (time.perf_counter() - t0) / reps
     ips = n_iters / dt
     fl = flops_per_iter(K, L, O, solver)
