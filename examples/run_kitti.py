@@ -54,7 +54,7 @@ def main(argv=None):
     ds = KittiOdometry(args.root, args.sequence)
     c = ds.calib
     cfg = SystemConfig(
-        caps=MapCaps(K=512, L=32768, F=1024, O=16),
+        caps=MapCaps(K=512, L=32768, F=1024, O=8),
         run_data_dir=os.path.join(args.out, "run_data"),
         # async: the TPU-native production driver (PROFILE_r05.md);
         # pipelined: the reference's 4-thread topology over native queues

@@ -59,12 +59,11 @@ class LoopCloser:
     Detection thresholds: the candidate gate is the reference's RELATIVE
     rule (BoW score >= min over covisible neighbors, LoopClosing.cc:
     119-150) followed by covisibility-consistency over 3 consecutive KFs
-    and full Sim3 RANSAC verification. The shipped 91k-word vocabulary's
+    and full Sim3 RANSAC verification. The shipped 96k-word vocabulary's
     measured discrimination on held-out worlds (ARTIFACTS/pr_curve.json,
-    tools/eval_loop_pr.py): AUC-PR 0.71; at the best-F1 absolute score
-    threshold 0.03 precision is 0.91 — the relative gate plus geometric
-    verification is what lifts end-to-end precision to 1.0 in the loop
-    tests, so no absolute score floor is imposed here."""
+    tools/eval_loop_pr.py): AUC-PR 0.76, best F1 0.75; the relative gate
+    plus geometric verification is what lifts end-to-end precision to 1.0
+    in the loop tests, so no absolute score floor is imposed here."""
 
     cam: Camera
     recognizer: PlaceRecognizer
